@@ -1,0 +1,200 @@
+"""Forecast persistence: ids, filenames, and target dispatch.
+
+Behavioral parity with reference skyrim/common.py: base58 forecast ids
+(common.py:23-31), ``{model}__{ic_source}__{start}__{pred}`` filenames
+(common.py:48-69), and target dispatch by URL scheme — local NetCDF or
+Zarr, ``s3://`` via fsspec, ``hf://`` HuggingFace zipped zarr
+(common.py:115-201).  Remote targets default to zarr.  The reference's
+local-vs-S3 append-dim mismatch (``"step"`` at common.py:150 vs
+``"time"`` at :180) is a recorded defect; here both append on "time"
+(SURVEY.md §7 "defects to fix").
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import shutil
+import zipfile
+from dataclasses import dataclass, field as _field
+from pathlib import Path
+from typing import Callable
+
+from skyrim_tpu.field import Field
+from skyrim_tpu.io.netcdf import read_netcdf, write_netcdf, write_netcdf_bytes
+from skyrim_tpu.io.zarrlite import ZarrStore, open_store, read_zarr
+from skyrim_tpu.utils.logging import logger
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+LOCAL_CACHE = os.environ.get(
+    "SKYRIM_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "skyrim_tpu")
+)
+OUTPUT_DIR = os.environ.get("SKYRIM_OUTPUT_DIR", str(Path.cwd() / "outputs"))
+
+
+def _b58encode(data: bytes) -> str:
+    n = int.from_bytes(data, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    # preserve leading zero bytes as '1's (standard base58)
+    pad = len(data) - len(data.lstrip(b"\0"))
+    return "1" * pad + "".join(reversed(out))
+
+
+def generate_forecast_id(length: int = 10) -> str:
+    """base58(sha256(utcnow()))[:length] (reference common.py:23-31)."""
+    digest = hashlib.sha256(
+        datetime.datetime.now(datetime.timezone.utc).isoformat().encode()
+    ).digest()
+    return _b58encode(digest)[:length]
+
+
+@dataclass
+class SaveConfig:
+    """Save options (reference common.py:34-45)."""
+
+    forecast_id: str = _field(default_factory=generate_forecast_id)
+    output_dir: str = OUTPUT_DIR
+    file_type: str | None = None  # "netcdf" | "zarr"; None → infer from target
+    filter_vars: tuple[str, ...] = ()
+    mapping_func: Callable[[Field], Field] | None = None
+    zarr_store_config: dict = _field(default_factory=dict)
+
+
+def generate_filename(
+    model_name: str,
+    start_time: datetime.datetime,
+    pred_time: datetime.datetime,
+    ic_source: str,
+    suffix: str = ".nc",
+) -> str:
+    """``{model}__{source}__{start}__{pred}{suffix}`` (reference common.py:48-69)."""
+    return (
+        f"{model_name}__{ic_source}__"
+        f"{start_time.strftime('%Y%m%d_%H:%M')}__"
+        f"{pred_time.strftime('%Y%m%d_%H:%M')}{suffix}"
+    )
+
+
+def _is_remote(target: str) -> bool:
+    return "://" in target
+
+
+def save_forecast(
+    forecast: Field,
+    model_name: str,
+    start_time: datetime.datetime,
+    pred_time: datetime.datetime,
+    ic_source: str,
+    config: SaveConfig | dict | None = None,
+) -> str:
+    """Persist one forecast step; returns the output path/URL."""
+    if config is None:
+        config = SaveConfig()
+    elif isinstance(config, dict):
+        config = SaveConfig(**config)
+
+    if config.filter_vars:
+        forecast = forecast.sel(channel=list(config.filter_vars))
+    if config.mapping_func is not None:
+        forecast = config.mapping_func(forecast)
+    forecast = forecast.assign_attrs(
+        model=model_name, ic_source=ic_source, forecast_id=config.forecast_id
+    )
+
+    out_dir = config.output_dir.rstrip("/")
+    file_type = config.file_type or ("zarr" if _is_remote(out_dir) else "netcdf")
+
+    if out_dir.startswith("hf://"):
+        return _save_hf(forecast, out_dir, config)
+
+    if file_type == "zarr":
+        target = f"{out_dir}/{config.forecast_id}.zarr"
+        store = open_store(target, **config.zarr_store_config)
+        zs = ZarrStore(store)
+        if zs.exists():
+            zs.append_field(forecast, append_dim="time")
+            logger.debug("appended to zarr store %s", target)
+        else:
+            zs.write_field(forecast)
+            logger.success("created zarr store %s", target)
+        return target
+
+    filename = generate_filename(model_name, start_time, pred_time, ic_source)
+    if _is_remote(out_dir):
+        import fsspec
+
+        target = f"{out_dir}/{config.forecast_id}/{filename}"
+        with fsspec.open(target, "wb") as fh:
+            fh.write(write_netcdf_bytes(forecast))
+        logger.success("uploaded %s", target)
+        return target
+
+    target_dir = Path(out_dir) / config.forecast_id
+    target_dir.mkdir(parents=True, exist_ok=True)
+    target = target_dir / filename
+    write_netcdf(forecast, target)
+    logger.success("saved %s", target)
+    return str(target)
+
+
+def _save_hf(forecast: Field, out_dir: str, config: SaveConfig) -> str:
+    """hf://org/repo/path → zipped zarr uploaded via huggingface_hub
+    (reference common.py:82-112)."""
+    try:
+        from huggingface_hub import HfApi
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "huggingface_hub is required for hf:// targets but is not installed"
+        ) from e
+    rest = out_dir[len("hf://") :]
+    org_repo, _, sub = rest.partition("/")
+    parts = rest.split("/")
+    repo_id = "/".join(parts[:2])
+    sub = "/".join(parts[2:])
+    tmp = Path(LOCAL_CACHE) / "hf_upload" / f"{config.forecast_id}.zarr"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ZarrStore(open_store(tmp)).write_field(forecast)
+    zip_path = tmp.with_suffix(".zarr.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for p in tmp.rglob("*"):
+            if p.is_file():
+                zf.write(p, p.relative_to(tmp))
+    path_in_repo = f"{sub}/{config.forecast_id}.zarr.zip".lstrip("/")
+    HfApi().upload_file(
+        path_or_fileobj=str(zip_path),
+        path_in_repo=path_in_repo,
+        repo_id=repo_id,
+        repo_type="dataset",
+    )
+    return f"hf://{repo_id}/{path_in_repo}"
+
+
+def remote_forecast_exists(target: str, **storage_options) -> bool:
+    """Probe whether a forecast already exists at a (remote) prefix
+    (reference common.py:72-79)."""
+    try:
+        store = open_store(target, **storage_options)
+        return bool(store.list_prefix(""))
+    except Exception:
+        return False
+
+
+def load_forecast(path: str) -> Field:
+    """Read a saved forecast (NetCDF file or Zarr store) back into a Field."""
+    p = str(path)
+    if p.endswith(".zarr") or p.rstrip("/").endswith(".zarr"):
+        return read_zarr(p)
+    if not _is_remote(p) and Path(p).is_dir():
+        return read_zarr(p)
+    return read_netcdf(p)
+
+
+def read_forecast(zarr_store_path: str, forecast_id: str, **storage_options) -> Field:
+    """Client reader (reference skyrim/client/__init__.py:7-9)."""
+    return read_zarr(f"{zarr_store_path.rstrip('/')}/{forecast_id}.zarr", **storage_options)
