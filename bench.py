@@ -1,0 +1,102 @@
+"""Benchmark: grid-points/s/chip on the flagship model at 0.25°.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no quantitative perf numbers (BASELINE.md); its
+only quotable bound is the Modal marketing claim "forecast in < 2
+minutes" on an A100 (reference README.md:11).  vs_baseline is therefore
+the ratio of that 120 s budget to our measured 10-day (40×6 h) rollout
+wall-clock — >1.0 means faster than the reference's claim.
+
+Run on the real TPU chip (default env). SKYRIM_BENCH_MODEL overrides
+the flagship; SKYRIM_BENCH_STEPS the timed step count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+FLAGSHIP = os.environ.get("SKYRIM_BENCH_MODEL", "pangu")
+N_STEPS = int(os.environ.get("SKYRIM_BENCH_STEPS", "8"))
+TEN_DAY_STEPS = 40  # 10 days at 6 h
+
+
+def main() -> None:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skyrim_tpu.models import MODELS
+
+    try:
+        model = MODELS[FLAGSHIP]()
+    except Exception:
+        model = MODELS["dlwp"]()
+    params = model.init_params(jax.random.key(0))
+    x0 = np.zeros(model.state_shape, np.float32)
+
+    # Scalar-reduced rollout: on this tunneled platform only a real
+    # device→host fetch reliably forces execution, so the benched
+    # function returns one scalar (mean of all outputs).
+    @partial(jax.jit, static_argnums=(2,))
+    def rollout_sum(params, state, n_calls):
+        def body(carry, _):
+            new_state, y = model.advance(params, carry)
+            return new_state, jnp.mean(y.astype(jnp.float32))
+        _, ms = jax.lax.scan(body, state, None, length=n_calls)
+        return jnp.mean(ms)
+
+    def timed(n_steps: int) -> float:
+        n_calls = -(-n_steps // model.frames_out)
+        # compile warmup
+        float(rollout_sum(params, model.init_state(params, x0), n_calls))
+        best = float("inf")
+        for _ in range(2):
+            state = model.init_state(params, x0)
+            t0 = time.perf_counter()
+            float(rollout_sum(params, state, n_calls))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # marginal per-step time cancels the constant tunnel/dispatch overhead
+    t_long = timed(N_STEPS)
+    t_short = timed(max(N_STEPS // 4, 1))
+    n_long = -(-N_STEPS // model.frames_out) * model.frames_out
+    n_short = -(-max(N_STEPS // 4, 1) // model.frames_out) * model.frames_out
+    per_step = max((t_long - t_short) / max(n_long - n_short, 1), 1e-9)
+
+    H, W = model.grid.shape
+    gps = H * W * len(model.channels) / per_step
+    ten_day_s = per_step * TEN_DAY_STEPS
+    n_frames = n_long
+    vs_baseline = 120.0 / ten_day_s  # reference claim: forecast < 2 min
+
+    print(
+        json.dumps(
+            {
+                "metric": f"grid_points_per_s_per_chip[{model.name}]",
+                "value": round(gps, 1),
+                "unit": "pts/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "model": model.name,
+                    "steps_timed": int(n_frames),
+                    "wall_long_s": round(t_long, 4),
+                    "wall_short_s": round(t_short, 4),
+                    "step_wall_s": round(per_step, 4),
+                    "ten_day_rollout_s": round(ten_day_s, 2),
+                    "grid": [H, W, len(model.channels)],
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

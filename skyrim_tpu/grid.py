@@ -201,6 +201,44 @@ def cubed_sphere_to_latlon_indices(
     )
 
 
+@lru_cache(maxsize=8)
+def cubed_sphere_halo_indices(face_size: int = 64, pad: int = 1) -> np.ndarray:
+    """Cross-face halo gather table for cubed-sphere convolutions.
+
+    Returns int32 (6, F+2p, F+2p) flat indices into the (6*F*F) cell
+    array.  Interior cells map to themselves; halo cells map to the
+    nearest cell on the neighboring face, found by extending the
+    equiangular face coordinate beyond ±π/4 and doing a spherical
+    nearest-neighbor lookup.  Convolutions then run per-face with VALID
+    padding after one static gather — no dynamic control flow for XLA.
+    """
+    F, p = face_size, pad
+    cs = CubedSphereGrid(F)
+    lat_c, lon_c = cs.latlon
+    lat_r = np.deg2rad(lat_c.ravel())
+    lon_r = np.deg2rad(lon_c.ravel())
+    pts = np.stack(
+        [np.cos(lat_r) * np.cos(lon_r), np.cos(lat_r) * np.sin(lon_r), np.sin(lat_r)],
+        axis=-1,
+    )
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+
+    c = (np.arange(-p, F + p) + 0.5) / F * (np.pi / 2) - np.pi / 4
+    b, a = np.meshgrid(c, c, indexing="ij")
+    out = np.empty((6, F + 2 * p, F + 2 * p), dtype=np.int32)
+    interior = np.arange(6 * F * F, dtype=np.int32).reshape(6, F, F)
+    for face in range(6):
+        v = _face_xyz(face, a, b)
+        _, idx = tree.query(v.reshape(-1, 3), k=1)
+        grid_idx = idx.reshape(F + 2 * p, F + 2 * p).astype(np.int32)
+        # keep exact self-indices in the interior (avoids any NN rounding)
+        grid_idx[p : F + p, p : F + p] = interior[face]
+        out[face] = grid_idx
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Icosahedral multimesh (GraphCast). Refined icosahedron, meshes M0..M6.
 # ---------------------------------------------------------------------------

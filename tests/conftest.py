@@ -7,12 +7,20 @@ marked ``tpu`` and excluded by default.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the axon sitecustomize pins jax_platforms to the real
+# (tunneled) TPU via jax.config.update at interpreter start, which beats
+# env vars — so override through jax.config before backends initialize.
+# TPU tests opt in by running with SKYRIM_TEST_TPU=1 (and are marked `tpu`).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+if not os.environ.get("SKYRIM_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
