@@ -1,0 +1,169 @@
+"""FourCastNet v1 — Adaptive Fourier Neural Operator, TPU-native.
+
+Re-implements the AFNO model the reference wraps via
+``earth2mip.networks.fcn`` (reference skyrim/core/models/fourcastnet.py:
+24-25): 26 channels on the 720×1440 grid (south pole excluded,
+fourcastnet.py:15-18).  Architecture follows Guibas et al. 2022 /
+Pathak et al. 2022: ViT-style patch embedding (8×8), 12 blocks of
+{FFT2 token mixing with block-diagonal complex MLP + soft shrinkage,
+channel MLP}, linear head + pixel shuffle.
+
+TPU mapping: FFTs are XLA-native; the block-diagonal complex MLP is a
+pair of real batched matmuls over (modes, nb, bs) — dense MXU work; soft
+shrink is a fused VPU elementwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from skyrim_tpu import channels as ch
+from skyrim_tpu.grid import LatLonGrid
+from skyrim_tpu.models.base import (
+    PrognosticModel,
+    denormalize,
+    make_norm_params,
+    normalize,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AFNOConfig:
+    lat: int = 720
+    lon: int = 1440
+    in_channels: int = 26
+    patch: int = 8
+    embed_dim: int = 768
+    depth: int = 12
+    num_blocks: int = 8  # block-diagonal groups in the spectral MLP
+    mlp_ratio: float = 4.0
+    sparsity: float = 0.01  # soft-shrink threshold λ
+    hard_keep_fraction: float = 1.0
+
+    @property
+    def tokens(self) -> tuple[int, int]:
+        return (self.lat // self.patch, self.lon // self.patch)
+
+
+def soft_shrink(x, lam):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam, 0.0)
+
+
+class AFNOMixer(nn.Module):
+    """FFT2 → block-diagonal 2-layer complex MLP → soft shrink → IFFT2."""
+
+    cfg: AFNOConfig
+
+    @nn.compact
+    def __call__(self, x):  # (Ht, Wt, D)
+        cfg = self.cfg
+        Ht, Wt = cfg.tokens
+        nb = cfg.num_blocks
+        bs = cfg.embed_dim // nb
+
+        X = jnp.fft.rfft2(x.astype(jnp.float32), axes=(0, 1))  # (Ht, Wf, D)
+        Wf = X.shape[1]
+        keep_h = int(Ht * cfg.hard_keep_fraction)
+        Xr = X.real.reshape(Ht, Wf, nb, bs)
+        Xi = X.imag.reshape(Ht, Wf, nb, bs)
+
+        def cparam(name, shape):
+            return (
+                self.param(f"{name}_r", nn.initializers.normal(0.02), shape),
+                self.param(f"{name}_i", nn.initializers.normal(0.02), shape),
+            )
+
+        w1r, w1i = cparam("w1", (nb, bs, bs))
+        b1r, b1i = cparam("b1", (nb, bs))
+        w2r, w2i = cparam("w2", (nb, bs, bs))
+        b2r, b2i = cparam("b2", (nb, bs))
+
+        def cmatmul(xr, xi, wr, wi, br, bi):
+            yr = jnp.einsum("hwnb,nbc->hwnc", xr, wr) - jnp.einsum(
+                "hwnb,nbc->hwnc", xi, wi
+            )
+            yi = jnp.einsum("hwnb,nbc->hwnc", xr, wi) + jnp.einsum(
+                "hwnb,nbc->hwnc", xi, wr
+            )
+            return yr + br, yi + bi
+
+        Yr, Yi = cmatmul(Xr, Xi, w1r, w1i, b1r, b1i)
+        Yr, Yi = jax.nn.relu(Yr), jax.nn.relu(Yi)
+        Yr, Yi = cmatmul(Yr, Yi, w2r, w2i, b2r, b2i)
+        Yr = soft_shrink(Yr, cfg.sparsity)
+        Yi = soft_shrink(Yi, cfg.sparsity)
+
+        Y = jax.lax.complex(Yr.reshape(Ht, Wf, -1), Yi.reshape(Ht, Wf, -1))
+        if keep_h < Ht:
+            # zero out high-frequency lat modes (hard thresholding)
+            mask = np.zeros((Ht, 1, 1), np.float32)
+            mask[: keep_h // 2] = 1
+            mask[-(keep_h // 2) :] = 1
+            Y = Y * mask
+        y = jnp.fft.irfft2(Y, s=(Ht, Wt), axes=(0, 1))
+        return y.astype(x.dtype)
+
+
+class AFNOBlock(nn.Module):
+    cfg: AFNOConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        x = x + AFNOMixer(cfg)(nn.LayerNorm(dtype=x.dtype)(x))
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        h = nn.Dense(int(cfg.embed_dim * cfg.mlp_ratio), dtype=x.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(cfg.embed_dim, dtype=x.dtype)(h)
+        return x + h
+
+
+class AFNONet(nn.Module):
+    cfg: AFNOConfig
+
+    @nn.compact
+    def __call__(self, x):  # (C, H, W) → (C, H, W)
+        cfg = self.cfg
+        p = cfg.patch
+        Ht, Wt = cfg.tokens
+        h = x.transpose(1, 2, 0)
+        h = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), dtype=h.dtype, name="patch_embed")(h)
+        h = h + self.param(
+            "pos_embed", nn.initializers.normal(0.02), (Ht, Wt, cfg.embed_dim)
+        ).astype(h.dtype)
+        for i in range(cfg.depth):
+            h = AFNOBlock(cfg, name=f"block_{i}")(h)
+        h = nn.LayerNorm(dtype=h.dtype)(h)
+        h = nn.Dense(p * p * cfg.in_channels, dtype=h.dtype, name="head")(h)
+        # pixel shuffle back to the full grid
+        h = h.reshape(Ht, Wt, p, p, cfg.in_channels)
+        h = h.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, cfg.in_channels)
+        return h.transpose(2, 0, 1)
+
+
+class FourCastNetModel(PrognosticModel):
+    name = "fourcastnet"
+    channels = ch.FCN
+    n_history = 1
+
+    def __init__(self, cfg: AFNOConfig | None = None):
+        self.cfg = cfg or AFNOConfig()
+        self.module = AFNONet(self.cfg)
+        self.grid = LatLonGrid(self.cfg.lat, self.cfg.lon, include_south_pole=False)
+        if self.cfg.in_channels != len(self.channels):
+            self.channels = tuple(f"c{i:02d}" for i in range(self.cfg.in_channels))
+
+    def init_params(self, rng):
+        dummy = jnp.zeros((self.cfg.in_channels, self.cfg.lat, self.cfg.lon), jnp.float32)
+        variables = jax.jit(self.module.init)(rng, dummy)
+        return {"net": variables["params"], "norm": make_norm_params(self.cfg.in_channels)}
+
+    def apply(self, params, x):
+        xn = normalize(params["norm"], x[-1]).astype(self.compute_dtype)
+        y = self.module.apply({"params": params["net"]}, xn)
+        return denormalize(params["norm"], y.astype(jnp.float32))[None]

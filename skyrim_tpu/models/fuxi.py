@@ -1,0 +1,181 @@
+"""FuXi — U-Net + Swin-transformer cascade, TPU-native.
+
+Re-implements the ONNX FuXi the reference wraps via earth2studio
+(reference skyrim/core/models/fuxi.py:53-54): 70 channels
+(fuxi.py:14-21), two input time steps, 6 h step, and a three-stage
+cascade — separate short (0-5 d) / medium (5-10 d) / long (10-15 d)
+models selected by lead time (fuxi.py:26-35).
+
+Architecture follows Chen et al. 2023: space-time cube embedding of the
+two input frames → downsample to 1/4 resolution → stack of 2D
+Swin-style window-attention blocks (shares ops/windows.py with Pangu,
+window over (lat, lon) with periodic lon) → upsample + concat skip →
+output head.  The cascade is a ``lax.switch`` over per-stage parameter
+sets inside the scanned advance, so a 15-day rollout stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from skyrim_tpu import channels as ch
+from skyrim_tpu.grid import LatLonGrid
+from skyrim_tpu.models.base import (
+    ModelState,
+    PrognosticModel,
+    denormalize,
+    make_norm_params,
+    normalize,
+)
+from skyrim_tpu.ops import windows as W
+
+
+@dataclasses.dataclass(frozen=True)
+class FuXiConfig:
+    lat: int = 721
+    lon: int = 1440
+    in_channels: int = 70
+    embed_dim: int = 512
+    depth: int = 12
+    num_heads: int = 8
+    window: tuple[int, int] = (6, 12)
+    patch: int = 4  # cube-embed spatial downsample
+    n_stages: int = 3  # short / medium / long
+    stage_steps: int = 20  # 5 days of 6h steps per stage
+
+    @property
+    def tokens(self) -> tuple[int, int]:
+        return (-(-self.lat // self.patch), self.lon // self.patch)
+
+
+class SwinBlock2D(nn.Module):
+    """2D window attention block on (H, W, C) with periodic longitude."""
+
+    dim: int
+    heads: int
+    window: tuple[int, int]
+    shifted: bool
+    valid_h: int
+
+    @nn.compact
+    def __call__(self, x):  # (H, W, C) padded H
+        H, Wd, C = x.shape
+        wh, ww = self.window
+        win3 = (1, wh, ww)
+        shift = (0, wh // 2 if self.shifted else 0, ww // 2 if self.shifted else 0)
+
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        h = h[None]  # (1, H, W, C) reuse 3D helpers with Z=1
+        if self.shifted:
+            h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
+        mask = W.shift_attention_mask((1, H, Wd), win3, shift, (1, self.valid_h, Wd))
+        parts = W.window_partition(h[0:1].reshape(1, H, Wd, C), win3)
+        n_win, wlen, _ = parts.shape
+        head_dim = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+        qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        bias_table = self.param(
+            "rel_bias",
+            nn.initializers.truncated_normal(0.02),
+            (W.earth_bias_table_size(win3), self.heads),
+        )
+        bias = bias_table[W.earth_bias_index(win3)].transpose(2, 0, 1)
+        attn = jnp.einsum("whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (head_dim**-0.5) + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nz, nh = mask.shape[:2]
+            nw = n_win // (nz * nh)
+            attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
+            attn = attn + jnp.asarray(mask)[:, :, None, None].astype(attn.dtype)
+            attn = attn.reshape(n_win, self.heads, wlen, wlen)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+        out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
+        out = W.window_reverse(out, win3, (1, H, Wd))
+        if self.shifted:
+            out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))
+        x = x + out[0]
+
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        h = nn.Dense(self.dim * 4, dtype=x.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=x.dtype)(h)
+        return x + h
+
+
+class FuXiNet(nn.Module):
+    cfg: FuXiConfig
+
+    @nn.compact
+    def __call__(self, x):  # (hist·C, H, W) → (C, H, W)
+        cfg = self.cfg
+        p = cfg.patch
+        Ht, Wt = cfg.tokens
+        h = x.transpose(1, 2, 0)
+        h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+        h = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), dtype=h.dtype,
+                    name="cube_embed")(h)
+        skip = h
+        hp = jnp.pad(h, ((0, (-Ht) % cfg.window[0]), (0, 0), (0, 0)))
+        for i in range(cfg.depth):
+            hp = SwinBlock2D(
+                cfg.embed_dim, cfg.num_heads, cfg.window,
+                shifted=(i % 2 == 1), valid_h=Ht, name=f"block_{i}",
+            )(hp)
+        h = hp[:Ht] + skip
+        h = nn.ConvTranspose(
+            cfg.in_channels, (p, p), strides=(p, p), dtype=h.dtype, name="head"
+        )(h)[: cfg.lat]
+        return h.transpose(2, 0, 1)
+
+
+class FuXiModel(PrognosticModel):
+    name = "fuxi"
+    channels = ch.FUXI
+    n_history = 2
+
+    def __init__(self, cfg: FuXiConfig | None = None):
+        self.cfg = cfg or FuXiConfig()
+        self.grid = LatLonGrid(self.cfg.lat, self.cfg.lon)
+        if self.cfg.in_channels != len(self.channels):
+            self.channels = tuple(f"c{i:02d}" for i in range(self.cfg.in_channels))
+        self.module = FuXiNet(self.cfg)
+
+    def init_params(self, rng):
+        nc = self.cfg.in_channels
+        dummy = jnp.zeros((self.n_history * nc, self.cfg.lat, self.cfg.lon), jnp.float32)
+        init = jax.jit(self.module.init)
+        ks = jax.random.split(rng, self.cfg.n_stages)
+        return {
+            "stages": [init(k, dummy)["params"] for k in ks],
+            "norm": make_norm_params(nc),
+        }
+
+    def _forward(self, net_params, params, x):
+        nc = self.cfg.in_channels
+        xn = normalize(params["norm"], x).astype(self.compute_dtype)
+        stacked = xn.reshape(self.n_history * nc, *x.shape[-2:])
+        y = self.module.apply({"params": net_params}, stacked).astype(jnp.float32)
+        xlast = normalize(params["norm"], x[-1])
+        return denormalize(params["norm"], xlast + y)
+
+    def apply(self, params, x):
+        return self._forward(params["stages"][0], params, x)[None]
+
+    def advance(self, params, state: ModelState):
+        """Cascade: pick the stage net by forecast step (short/medium/long)."""
+        stage = jnp.minimum(state.step // self.cfg.stage_steps, self.cfg.n_stages - 1)
+        branches = [
+            (lambda p: (lambda _: self._forward(p, params, state.x)))(p)
+            for p in params["stages"]
+        ]
+        y = jax.lax.switch(stage, branches, None)
+        new_x = jnp.concatenate([state.x, y[None]], axis=0)[-self.n_history:]
+        return state.replace(x=new_x, step=state.step + 1), y[None]

@@ -1,0 +1,184 @@
+"""Static graph construction + TPU-friendly message passing.
+
+GraphCast's irregular gather/scatter is the hard TPU case (SURVEY.md §7
+hard part 3).  Everything dynamic is precomputed here as static numpy
+index tables at setup:
+
+- grid↔mesh bipartite edges (radius query / containing triangle)
+- edge features in the receiver's local east-north frame
+- edges sorted by destination so ``segment_sum`` runs with
+  ``indices_are_sorted=True`` (XLA lowers to an efficient sorted scatter)
+
+Message MLPs over the ~1.6M grid2mesh edges are chunk-scanned
+(``edge_chunks``) to bound activation memory on a 16 GB chip.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skyrim_tpu.grid import LatLonGrid, icosahedral_multimesh
+
+
+def _latlon_to_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray) -> np.ndarray:
+    lat = np.deg2rad(lat_deg)
+    lon = np.deg2rad(lon_deg)
+    return np.stack(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)], axis=-1
+    )
+
+
+def _local_frame(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(east, north) unit tangent vectors at each point (N, 3)."""
+    z = np.array([0.0, 0.0, 1.0])
+    east = np.cross(z, xyz)
+    norm = np.linalg.norm(east, axis=-1, keepdims=True)
+    # at the poles pick an arbitrary tangent
+    east = np.where(norm > 1e-9, east / np.maximum(norm, 1e-9), np.array([1.0, 0, 0]))
+    north = np.cross(xyz, east)
+    north /= np.maximum(np.linalg.norm(north, axis=-1, keepdims=True), 1e-9)
+    return east, north
+
+
+def edge_features(src_xyz: np.ndarray, dst_xyz: np.ndarray) -> np.ndarray:
+    """4 features per edge: [length, d·east_dst, d·north_dst, d·up_dst]."""
+    d = src_xyz - dst_xyz
+    length = np.linalg.norm(d, axis=-1, keepdims=True)
+    east, north = _local_frame(dst_xyz)
+    de = (d * east).sum(-1, keepdims=True)
+    dn = (d * north).sum(-1, keepdims=True)
+    du = (d * dst_xyz).sum(-1, keepdims=True)
+    return np.concatenate([length, de, dn, du], axis=-1).astype(np.float32)
+
+
+def node_features(lat_deg: np.ndarray, lon_deg: np.ndarray) -> np.ndarray:
+    """3 static features: [sin(lat), cos(lon), sin(lon)] (GraphCast-style)."""
+    lat = np.deg2rad(lat_deg)
+    lon = np.deg2rad(lon_deg)
+    return np.stack([np.sin(lat), np.cos(lon), np.sin(lon)], axis=-1).astype(np.float32)
+
+
+def _sort_by_dst(src, dst, feat):
+    order = np.argsort(dst, kind="stable")
+    return src[order].astype(np.int32), dst[order].astype(np.int32), feat[order]
+
+
+@lru_cache(maxsize=4)
+def build_graphs(nlat: int, nlon: int, refinements: int, radius_factor: float = 0.6):
+    """All static tables for GraphCast on (nlat, nlon) with an R-times
+    refined icosahedral multimesh.
+
+    Returns a dict of numpy arrays:
+      mesh_src/mesh_dst/mesh_efeat       — multimesh edges (sorted by dst)
+      g2m_src/g2m_dst/g2m_efeat          — grid→mesh (src: grid flat idx)
+      m2g_src/m2g_dst/m2g_efeat          — mesh→grid (dst: grid flat idx)
+      mesh_nfeat / grid_nfeat            — static node features
+      n_mesh / n_grid
+    """
+    from scipy.spatial import cKDTree
+
+    mesh = icosahedral_multimesh(refinements)
+    mverts = mesh["verts"]  # (V, 3)
+    mlatlon = mesh["latlon"]
+    n_mesh = len(mverts)
+
+    grid = LatLonGrid(nlat, nlon)
+    glat = np.repeat(grid.lat, nlon)
+    glon = np.tile(grid.lon, nlat)
+    gxyz = _latlon_to_xyz(glat, glon)
+    n_grid = nlat * nlon
+
+    # --- multimesh edges ---
+    ms, md = mesh["edges"][:, 0], mesh["edges"][:, 1]
+    mef = edge_features(mverts[ms], mverts[md])
+    ms, md, mef = _sort_by_dst(ms, md, mef)
+
+    # --- grid→mesh: grid points within radius of each mesh node ---
+    faces = mesh["faces"]
+    finest_edge = np.linalg.norm(
+        mverts[faces[:, 0]] - mverts[faces[:, 1]], axis=-1
+    ).min()
+    radius = radius_factor * np.linalg.norm(
+        mverts[faces[:, 0]] - mverts[faces[:, 1]], axis=-1
+    ).max()
+    gtree = cKDTree(gxyz)
+    pairs = gtree.query_ball_point(mverts, r=radius)
+    g2m_src = np.concatenate([np.asarray(p, dtype=np.int64) for p in pairs])
+    g2m_dst = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pairs)]
+    )
+    g2m_ef = edge_features(gxyz[g2m_src], mverts[g2m_dst])
+    g2m_src, g2m_dst, g2m_ef = _sort_by_dst(g2m_src, g2m_dst, g2m_ef)
+
+    # --- mesh→grid: 3 vertices of the containing finest triangle ---
+    mtree = cKDTree(mverts)
+    _, nearest_v = mtree.query(gxyz, k=1)
+    # faces incident to each vertex
+    incident: list[list[int]] = [[] for _ in range(n_mesh)]
+    for fi, (a, b, c) in enumerate(faces):
+        incident[a].append(fi)
+        incident[b].append(fi)
+        incident[c].append(fi)
+    max_inc = max(len(x) for x in incident)
+    inc_tbl = np.zeros((n_mesh, max_inc), dtype=np.int64)
+    for v, fl in enumerate(incident):
+        inc_tbl[v, : len(fl)] = fl
+        inc_tbl[v, len(fl) :] = fl[0] if fl else 0
+    cand = inc_tbl[nearest_v]  # (n_grid, max_inc)
+
+    # barycentric coords wrt each candidate face (gnomonic projection)
+    A = mverts[faces[cand, 0]]  # (n_grid, max_inc, 3)
+    B = mverts[faces[cand, 1]]
+    C = mverts[faces[cand, 2]]
+    P = gxyz[:, None, :]
+
+    def det3(u, v, w):
+        return np.einsum("...i,...i->...", u, np.cross(v, w))
+
+    wa = det3(P, B, C)
+    wb = det3(A, P, C)
+    wc = det3(A, B, P)
+    tot = wa + wb + wc
+    bary = np.stack([wa, wb, wc], axis=-1) / np.where(
+        np.abs(tot)[..., None] > 1e-12, tot[..., None], 1.0
+    )
+    score = bary.min(axis=-1)  # (n_grid, max_inc): containing face ⇒ all ≥ 0
+    best = score.argmax(axis=1)
+    best_face = cand[np.arange(n_grid), best]
+    tri = faces[best_face]  # (n_grid, 3)
+
+    m2g_src = tri.reshape(-1)
+    m2g_dst = np.repeat(np.arange(n_grid, dtype=np.int64), 3)
+    m2g_ef = edge_features(mverts[m2g_src], gxyz[m2g_dst])
+    m2g_src, m2g_dst, m2g_ef = _sort_by_dst(m2g_src, m2g_dst, m2g_ef)
+
+    return {
+        "mesh_src": ms, "mesh_dst": md, "mesh_efeat": mef,
+        "g2m_src": g2m_src, "g2m_dst": g2m_dst, "g2m_efeat": g2m_ef,
+        "m2g_src": m2g_src, "m2g_dst": m2g_dst, "m2g_efeat": m2g_ef,
+        "mesh_nfeat": node_features(mlatlon[:, 0], mlatlon[:, 1]),
+        "grid_nfeat": node_features(glat, glon),
+        "n_mesh": n_mesh, "n_grid": n_grid,
+        "finest_edge": float(finest_edge),
+    }  # fmt: skip
+
+
+def chunked_edge_apply(fn, edge_inputs: jax.Array, n_chunks: int) -> jax.Array:
+    """Apply ``fn`` over the edge dim in n_chunks scanned pieces.
+
+    Bounds peak activation memory for multi-million-edge MLPs; pads the
+    edge dim to a multiple of n_chunks (callers slice back).
+    """
+    E = edge_inputs.shape[0]
+    if n_chunks <= 1:
+        return fn(edge_inputs)
+    chunk = -(-E // n_chunks)
+    pad = chunk * n_chunks - E
+    x = jnp.pad(edge_inputs, ((0, pad),) + ((0, 0),) * (edge_inputs.ndim - 1))
+    x = x.reshape(n_chunks, chunk, *edge_inputs.shape[1:])
+    y = jax.lax.map(fn, x)
+    return y.reshape(n_chunks * chunk, *y.shape[2:])[:E]

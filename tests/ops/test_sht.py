@@ -1,0 +1,80 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skyrim_tpu.ops.sht import SHT, clenshaw_curtis_weights, legendre_matrix
+
+
+def test_clenshaw_curtis_exactness():
+    """CC weights must integrate low-degree polynomials exactly."""
+    n = 33
+    w = clenshaw_curtis_weights(n)
+    x = np.cos(np.arange(n) * np.pi / (n - 1))
+    np.testing.assert_allclose(w.sum(), 2.0, atol=1e-12)  # ∫1 dx
+    np.testing.assert_allclose((w * x).sum(), 0.0, atol=1e-12)
+    np.testing.assert_allclose((w * x**2).sum(), 2 / 3, atol=1e-10)
+    np.testing.assert_allclose((w * x**6).sum(), 2 / 7, atol=1e-10)
+
+
+def test_legendre_orthonormality():
+    """∫ P̄_l^m P̄_l'^m dcosθ = δ_{ll'} / (2π)."""
+    nlat, L, M = 129, 20, 20
+    theta = np.linspace(0, np.pi, nlat)
+    P = legendre_matrix(nlat, L, M, np.cos(theta))
+    w = clenshaw_curtis_weights(nlat)
+    for m in (0, 1, 5):
+        G = (P[m] * w) @ P[m].T  # (L, L)
+        expected = np.eye(L) / (2 * np.pi)
+        expected[:m, :m] = 0  # l < m rows are zero
+        np.testing.assert_allclose(G, expected, atol=1e-8)
+
+
+def test_roundtrip_bandlimited():
+    """ISHT∘SHT must be identity on band-limited fields."""
+    nlat, nlon, L = 65, 128, 32
+    sht = SHT(nlat, nlon, lmax=L, mmax=L, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    alm = (rng.normal(size=(3, L, L)) + 1j * rng.normal(size=(3, L, L))).astype(
+        np.complex64
+    )
+    # zero invalid modes (l < m) and make m=0 real (real-field constraint)
+    li = np.arange(L)[:, None]
+    mi = np.arange(L)[None, :]
+    alm[:, li < mi] = 0
+    alm[:, :, 0] = alm[:, :, 0].real
+    x = np.asarray(sht.inverse(jnp.asarray(alm)))
+    alm2 = np.asarray(sht.forward(jnp.asarray(x)))
+    np.testing.assert_allclose(alm2, alm, atol=2e-4)
+
+
+def test_roundtrip_grid():
+    """SHT then ISHT reproduces a smooth low-degree grid field.
+
+    Quadrature is exact for integrand degree ≤ nlat−1, so projection is
+    exact only under triangular truncation lmax ≲ nlat/2 — which is how
+    SFNO uses it.  (Full-bandwidth analysis aliases, as in any collocated
+    SHT.)
+    """
+    nlat, nlon = 65, 128
+    sht = SHT(nlat, nlon, lmax=nlat // 2, mmax=nlat // 2)
+    lat = np.linspace(np.pi / 2, -np.pi / 2, nlat)
+    lon = np.linspace(0, 2 * np.pi, nlon, endpoint=False)
+    # genuine low-l field: Re(Y_22) ∝ cos²(lat)·cos(2·lon), plus Y_10 ∝ sin(lat)
+    x = (
+        np.cos(lat)[:, None] ** 2 * np.cos(2 * lon)[None, :]
+        + np.sin(lat)[:, None]
+    ).astype(np.float32)[None]
+    back = np.asarray(sht.inverse(sht.forward(jnp.asarray(x))))
+    np.testing.assert_allclose(back, x, atol=2e-3)
+
+
+def test_constant_field():
+    """A constant field is pure (l=0, m=0) with a_00 = c·sqrt(4π)."""
+    nlat, nlon = 33, 64
+    sht = SHT(nlat, nlon, lmax=16, mmax=16)
+    x = jnp.ones((1, nlat, nlon))
+    alm = np.asarray(sht.forward(x))
+    np.testing.assert_allclose(alm[0, 0, 0].real, np.sqrt(4 * np.pi), rtol=1e-4)
+    off = alm.copy()
+    off[0, 0, 0] = 0
+    assert np.abs(off).max() < 1e-3
