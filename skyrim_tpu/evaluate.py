@@ -1,0 +1,111 @@
+"""Forecast skill evaluation vs ground truth (replaces libs/benchmark
+as the scoring layer; the reference only fetched truth — SURVEY.md §5
+"forecast-quality observability" — scoring is the roadmap item it never
+built).
+
+Implements the standard global deterministic scores, area-weighted on
+the sphere (cos-lat quadrature weights from grid.py):
+
+- RMSE (latitude-weighted)
+- bias / MAE
+- ACC (anomaly correlation coefficient vs a climatology)
+- per-lead-time score tables across a rollout
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from skyrim_tpu.field import Field
+from skyrim_tpu.grid import LatLonGrid
+
+
+def _weights(field: Field) -> np.ndarray:
+    lat = field.coords["lat"]
+    grid = LatLonGrid(len(lat), field.sizes["lon"])
+    w = grid.cell_area_weights
+    return w[:, None]
+
+
+def _align(pred: Field, truth: Field) -> tuple[Field, Field]:
+    common = [c for c in pred.coords["channel"] if c in set(truth.coords["channel"])]
+    pred = pred.sel(channel=common)
+    truth = truth.sel(channel=common)
+    # align on pred's times present in truth
+    t_truth = set(np.asarray(truth.coords["time"]).tolist())
+    keep = [i for i, t in enumerate(np.asarray(pred.coords["time"]).tolist()) if t in t_truth]
+    pred = pred.isel(time=keep)
+    truth = truth.sel(time=list(np.asarray(pred.coords["time"])))
+    return pred, truth
+
+
+def rmse(pred: Field, truth: Field) -> Field:
+    """Latitude-weighted RMSE per (time, channel)."""
+    pred, truth = _align(pred, truth)
+    w = _weights(pred)
+    err2 = (pred.data - truth.data) ** 2
+    val = np.sqrt((err2 * w).sum(axis=(-2, -1)) / w.sum() / pred.sizes["lon"])
+    return Field(
+        val, ("time", "channel"),
+        {"time": pred.coords["time"], "channel": pred.coords["channel"]},
+    )
+
+
+def bias(pred: Field, truth: Field) -> Field:
+    pred, truth = _align(pred, truth)
+    w = _weights(pred)
+    val = ((pred.data - truth.data) * w).sum(axis=(-2, -1)) / w.sum() / pred.sizes["lon"]
+    return Field(
+        val, ("time", "channel"),
+        {"time": pred.coords["time"], "channel": pred.coords["channel"]},
+    )
+
+
+def mae(pred: Field, truth: Field) -> Field:
+    pred, truth = _align(pred, truth)
+    w = _weights(pred)
+    val = (np.abs(pred.data - truth.data) * w).sum(axis=(-2, -1)) / w.sum() / pred.sizes["lon"]
+    return Field(
+        val, ("time", "channel"),
+        {"time": pred.coords["time"], "channel": pred.coords["channel"]},
+    )
+
+
+def acc(pred: Field, truth: Field, climatology: Field | None = None) -> Field:
+    """Anomaly correlation coefficient per (time, channel).
+
+    ``climatology``: (channel, lat, lon) mean state; defaults to the
+    truth's own time mean (acceptable for long series, biased for short).
+    """
+    pred, truth = _align(pred, truth)
+    w = _weights(pred)
+    if climatology is None:
+        clim = truth.data.mean(axis=0, keepdims=True)
+    else:
+        clim = climatology.sel(channel=list(pred.coords["channel"])).data[None]
+    pa = pred.data - clim
+    ta = truth.data - clim
+    num = (pa * ta * w).sum(axis=(-2, -1))
+    den = np.sqrt((pa**2 * w).sum(axis=(-2, -1)) * (ta**2 * w).sum(axis=(-2, -1)))
+    val = num / np.maximum(den, 1e-12)
+    return Field(
+        val, ("time", "channel"),
+        {"time": pred.coords["time"], "channel": pred.coords["channel"]},
+    )
+
+
+def score_table(pred: Field, truth: Field, climatology: Field | None = None) -> dict:
+    """All scores keyed by metric → {channel: [per-lead values]}."""
+    out = {}
+    for name, fn in (("rmse", rmse), ("bias", bias), ("mae", mae)):
+        f = fn(pred, truth)
+        out[name] = {
+            str(c): f.data[:, i].tolist()
+            for i, c in enumerate(f.coords["channel"])
+        }
+    f = acc(pred, truth, climatology)
+    out["acc"] = {
+        str(c): f.data[:, i].tolist() for i, c in enumerate(f.coords["channel"])
+    }
+    out["lead_times"] = [str(t) for t in np.asarray(pred.coords["time"])]
+    return out

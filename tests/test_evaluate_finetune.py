@@ -1,0 +1,124 @@
+import datetime
+import json
+
+import numpy as np
+import pytest
+
+from skyrim_tpu import evaluate
+from skyrim_tpu.field import Field
+
+
+def _field(data, times, channels):
+    nlat, nlon = data.shape[-2:]
+    lat = np.linspace(90, -90, nlat)
+    lon = np.arange(nlon) * (360 / nlon)
+    return Field.from_canonical(data, times, channels, lat, lon)
+
+
+T = [datetime.datetime(2024, 5, 1, 6 * i) for i in range(3)]
+CH = ["t2m", "z500"]
+
+
+def test_rmse_zero_for_identical():
+    data = np.random.default_rng(0).normal(size=(3, 2, 19, 36)).astype(np.float32)
+    f = _field(data, T, CH)
+    r = evaluate.rmse(f, f)
+    assert r.shape == (3, 2)
+    np.testing.assert_allclose(r.data, 0.0, atol=1e-6)
+
+
+def test_rmse_constant_offset():
+    data = np.zeros((3, 2, 19, 36), np.float32)
+    pred = _field(data + 2.0, T, CH)
+    truth = _field(data, T, CH)
+    r = evaluate.rmse(pred, truth)
+    np.testing.assert_allclose(r.data, 2.0, rtol=1e-5)
+    b = evaluate.bias(pred, truth)
+    np.testing.assert_allclose(b.data, 2.0, rtol=1e-5)
+
+
+def test_acc_perfect_and_anticorrelated():
+    rng = np.random.default_rng(1)
+    anom = rng.normal(size=(3, 2, 19, 36)).astype(np.float32)
+    clim = np.zeros((2, 19, 36), np.float32)
+    clim_f = Field(clim, ("channel", "lat", "lon"), {"channel": np.asarray(CH, object)})
+    truth = _field(anom, T, CH)
+    a = evaluate.acc(truth, truth, clim_f)
+    np.testing.assert_allclose(a.data, 1.0, rtol=1e-5)
+    a2 = evaluate.acc(_field(-anom, T, CH), truth, clim_f)
+    np.testing.assert_allclose(a2.data, -1.0, rtol=1e-5)
+
+
+def test_score_table_structure():
+    data = np.random.default_rng(2).normal(size=(2, 2, 19, 36)).astype(np.float32)
+    table = evaluate.score_table(_field(data, T[:2], CH), _field(data, T[:2], CH))
+    assert set(table) == {"rmse", "bias", "mae", "acc", "lead_times"}
+    assert set(table["rmse"]) == set(CH)
+
+
+def test_channel_alignment_subset():
+    data = np.random.default_rng(3).normal(size=(2, 2, 19, 36)).astype(np.float32)
+    pred = _field(data, T[:2], CH)
+    truth = _field(data[:, :1], T[:2], ["t2m"])
+    r = evaluate.rmse(pred, truth)
+    assert list(r.coords["channel"]) == ["t2m"]
+
+
+# ---------------- finetune ----------------
+
+
+def _make_dataset(tmp_path, n_slices=2, frames=4, nc=3):
+    from skyrim_tpu.io.netcdf import write_netcdf
+
+    channels = [f"c{i:02d}" for i in range(nc)]
+    files = []
+    rng = np.random.default_rng(0)
+    for i in range(n_slices):
+        times = [datetime.datetime(2024, 5, 1 + i, 6 * k) for k in range(frames)]
+        f = _field(rng.normal(size=(frames, nc, 17, 32)).astype(np.float32), times, channels)
+        name = f"slice_{i:05d}.nc"
+        write_netcdf(f, tmp_path / name)
+        files.append(name)
+    (tmp_path / "metadata.json").write_text(
+        json.dumps({"channels": channels, "files": files, "n_slices": n_slices,
+                    "slice_size": frames, "times": []})
+    )
+    return channels
+
+
+def test_dataset_windows(tmp_path):
+    from skyrim_tpu.finetune import FineTuneDataset
+
+    _make_dataset(tmp_path)
+    ds = FineTuneDataset(tmp_path, n_history=1, frames_out=1)
+    # 4 frames per slice, window 2 → 3 pairs per slice × 2 slices
+    assert len(ds) == 6
+    x, y = ds[0]
+    assert x.shape == (1, 3, 17, 32) and y.shape == (1, 3, 17, 32)
+    mean, std = ds.normalization_stats()
+    assert mean.shape == (3,) and (std > 0).all()
+
+
+def test_trainer_reduces_loss(tmp_path, monkeypatch):
+    from skyrim_tpu.finetune import FineTuneDataset, TrainConfig, Trainer
+    from skyrim_tpu.grid import LatLonGrid
+    from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
+
+    monkeypatch.setenv("SKYRIM_WEIGHTS_DIR", str(tmp_path / "ckpt"))
+    _make_dataset(tmp_path, n_slices=2, frames=4, nc=3)
+    ds = FineTuneDataset(tmp_path, n_history=1, frames_out=1)
+
+    cfg = SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8, num_blocks=1, scale_factor=4)
+    model = FourCastNetV2Model(cfg)
+    import jax
+
+    params = model.init_params(jax.random.key(0))
+    trainer = Trainer(model, params, TrainConfig(batch_size=2, n_epochs=3, learning_rate=1e-2))
+    out = trainer.fit(ds)
+    assert len(out["loss"]) == 3
+    assert out["loss"][-1] < out["loss"][0]  # it learns something
+    # checkpoint written and loadable
+    from skyrim_tpu.weights.registry import load_checkpoint
+
+    restored = load_checkpoint(model.name)
+    assert "net" in restored
