@@ -72,6 +72,7 @@ def _unpack_bits_numpy(data: bytes, nbits: int, n: int) -> np.ndarray:
 
 
 _unpack_bits_impl = _unpack_bits_numpy  # native fast path may override
+_decode_simple_impl = None  # fused native decode, set by gribcore.install()
 
 
 def _decode_simple(sec5: bytes, sec7_data: bytes, n: int) -> np.ndarray:
@@ -79,6 +80,8 @@ def _decode_simple(sec5: bytes, sec7_data: bytes, n: int) -> np.ndarray:
     E = _u(sec5[15:17], signed=True)
     D = _u(sec5[17:19], signed=True)
     nbits = sec5[19]
+    if _decode_simple_impl is not None:
+        return _decode_simple_impl(sec7_data, nbits, n, R, E, D)
     X = _unpack_bits_impl(sec7_data, nbits, n)
     return ((R + X * (2.0**E)) / (10.0**D)).astype(np.float32)
 
@@ -159,13 +162,18 @@ def _decode_complex(sec5: bytes, sec7_data: bytes, n: int, template: int) -> np.
 
 
 def _undo_second_diff(d: np.ndarray, init: list[int]) -> np.ndarray:
-    """Invert second-order spatial differencing: d holds h2..hn as second
-    differences with h1, h2 given."""
-    out = d.astype(np.int64).copy()
+    """Invert second-order spatial differencing (vectorized).
+
+    With first values x0, x1 given and d[i] (i≥2) the second differences,
+    the first differences are cumsum(d[2:]) + (x1−x0) and the values are
+    x1 + cumsum(first differences) — two cumsums, no Python loop.
+    """
+    d = d.astype(np.int64)
+    out = np.empty_like(d)
     out[0], out[1] = init[0], init[1]
-    # x[i] = d[i] + 2x[i-1] − x[i-2]
-    for i in range(2, len(out)):
-        out[i] = out[i] + 2 * out[i - 1] - out[i - 2]
+    if len(d) > 2:
+        first_diffs = np.cumsum(d[2:]) + (init[1] - init[0])
+        out[2:] = init[1] + np.cumsum(first_diffs)
     return out
 
 
@@ -337,3 +345,10 @@ def encode_simple(
     total = 16 + len(body)
     s0 = b"GRIB" + b"\x00\x00" + bytes([discipline, 2]) + struct.pack(">Q", total)
     return s0 + body
+
+
+# install the native fast path when native/libgribcore.so has been built
+try:  # pragma: no cover - exercised when the native lib exists
+    from skyrim_tpu.data import gribcore as _gribcore  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
