@@ -66,15 +66,34 @@ class PanguConfig:
         return (-(-self.lat // self.patch[1]), self.lon // self.patch[2])
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("SKYRIM_NO_PALLAS"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
 class EarthAttention3D(nn.Module):
-    """Window attention with earth-specific positional bias."""
+    """Window attention with earth-specific positional bias.
+
+    On TPU the fused Pallas kernel (ops/flash_window_attention.py) keeps
+    the (wlen × wlen) score matrices in VMEM; the XLA einsum path is the
+    CPU/debug fallback and the parity reference.
+    """
 
     dim: int
     heads: int
     window: tuple[int, int, int]
+    n_lon_windows: int = 1
 
     @nn.compact
     def __call__(self, x, mask):  # x: (nW, wlen, C)
+        from skyrim_tpu.ops.flash_window_attention import (
+            flash_window_attention,
+            reference_window_attention,
+        )
+
         n_win, wlen, C = x.shape
         head_dim = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(x)
@@ -87,21 +106,16 @@ class EarthAttention3D(nn.Module):
             (W.earth_bias_table_size(self.window), self.heads),
         )
         bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, h)
-        bias = bias.transpose(2, 0, 1).astype(x.dtype)
+        bias = bias.transpose(2, 0, 1)
 
-        attn = jnp.einsum(
-            "whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32
-        ) * (head_dim**-0.5)
-        attn = attn + bias[None].astype(attn.dtype)
-        if mask is not None:
-            # mask is factored (nz, nh, wlen, wlen); lon windows share it
-            nz, nh = mask.shape[:2]
-            nw = n_win // (nz * nh)
-            attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
-            attn = attn + mask[:, :, None, None].astype(attn.dtype)
-            attn = attn.reshape(n_win, self.heads, wlen, wlen)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32)
+        if _use_pallas():
+            out = flash_window_attention(
+                q, k, v, bias, mask, n_lon_windows=self.n_lon_windows
+            )
+        else:
+            out = reference_window_attention(
+                q, k, v, bias, mask, n_lon_windows=self.n_lon_windows
+            )
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
 
@@ -126,7 +140,9 @@ class PanguBlock(nn.Module):
         mask = W.shift_attention_mask((Z, H, Wd), win, shift, self.valid)
         mask = jnp.asarray(mask) if mask is not None else None
         h = W.window_partition(h, win)
-        h = EarthAttention3D(self.dim, self.heads, self.window)(h, mask)
+        h = EarthAttention3D(
+            self.dim, self.heads, self.window, n_lon_windows=Wd // win[2]
+        )(h, mask)
         h = W.window_reverse(h, win, (Z, H, Wd))
         if self.shifted:
             h = jnp.roll(h, shift, axis=(0, 1, 2))

@@ -1,0 +1,133 @@
+"""Fused window attention (Pallas) — the Pangu/FuXi/FengWu hot kernel.
+
+The XLA path materializes the (nWin, heads, wlen, wlen) attention tensor
+in HBM (~1.9 GB f32 per Pangu stage-1 block), making window attention
+HBM-bound.  This kernel fuses QKᵀ + earth bias + shift mask + softmax +
+AV per window with scores living only in VMEM — FlashAttention-style but
+without streaming (a whole 144-token window fits VMEM easily), so no
+running-max bookkeeping is needed.
+
+Layout: one grid step per window; all heads of the window are processed
+in-register.  Bias is the per-head earth bias shared by every window;
+the shift mask is factored (nz, nh, wlen, wlen) — the lon axis is
+periodic and needs no mask (ops/windows.py) — and selected by the
+window's (z, lat) block indices via the BlockSpec index map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
+    tw, heads = q_ref.shape[:2]
+    hd = q_ref.shape[-1]
+    wlen = q_ref.shape[2]
+    scale = hd**-0.5
+    # batched over the (windows-in-tile × heads) leading dims: one grid
+    # step computes the whole tile with scores living only in VMEM
+    q = q_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
+    k = k_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
+    v = v_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    s = s.reshape(tw, heads, wlen, wlen)
+    s = s + bias_ref[...].astype(jnp.float32)[None]
+    s = s + mask_ref[0, 0][None, None]
+    s = jax.nn.softmax(s, axis=-1).reshape(tw * heads, wlen, wlen)
+    o = jax.lax.dot_general(
+        s, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = o.reshape(tw, heads, wlen, hd).astype(o_ref.dtype)
+
+
+def flash_window_attention(
+    q: jax.Array,  # (nWin, heads, wlen, hd)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,  # (heads, wlen, wlen)
+    mask: jax.Array | None,  # (nz, nh, wlen, wlen) or None
+    n_lon_windows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention over independent windows. Returns (nWin, heads, wlen, hd)."""
+    n_win, heads, wlen, hd = q.shape
+    if mask is None:
+        nz = nh = 1
+        mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)
+    else:
+        nz, nh = mask.shape[:2]
+    nw = n_lon_windows
+    assert n_win == nz * nh * nw or (nz, nh) == (1, 1), (
+        f"windows {n_win} != {nz}x{nh}x{nw}"
+    )
+
+    # Tile consecutive lon windows per grid step: they share the mask
+    # block (lon is periodic/unmasked), and bigger tiles amortize grid
+    # and DMA overhead.  TW must divide nw so a tile never straddles a
+    # (z, lat) mask boundary.
+    tw = 1
+    for cand in (16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+        # VMEM budget: f32 scores (×~2.5 for softmax temps) dominate,
+        # plus double-buffered q/k/v/out blocks
+        scores_b = cand * heads * wlen * wlen * 4 * 2.5
+        qkvo_b = 4 * cand * heads * wlen * hd * q.dtype.itemsize * 2
+        if nw % cand == 0 and scores_b + qkvo_b < 9 * 2**20:
+            tw = cand
+            break
+    n_tiles = n_win // tw
+    nw_tiles = nw // tw
+
+    def mask_index(t):
+        if (nz, nh) == (1, 1):
+            return (0, 0, 0, 0)
+        return (t // (nh * nw_tiles), (t // nw_tiles) % nh, 0, 0)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tw, heads, wlen, hd), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, heads, wlen, hd), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, heads, wlen, hd), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, wlen, wlen), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wlen, wlen), mask_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tw, heads, wlen, hd), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_win * heads * wlen * wlen * hd,
+            bytes_accessed=4 * n_win * heads * wlen * hd * q.dtype.itemsize,
+            transcendentals=n_win * heads * wlen * wlen,
+        ),
+    )(q, k, v, bias, mask)
+
+
+def reference_window_attention(q, k, v, bias, mask, n_lon_windows):
+    """Pure-XLA reference (the unfused path) for parity tests."""
+    n_win, heads, wlen, hd = q.shape
+    s = jnp.einsum(
+        "whqd,whkd->whqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (hd**-0.5)
+    s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nz, nh = mask.shape[:2]
+        nw = n_lon_windows
+        s = s.reshape(nz, nh, nw, heads, wlen, wlen) + mask[:, :, None, None]
+        s = s.reshape(n_win, heads, wlen, wlen)
+    s = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("whqk,whkd->whqd", s, v.astype(jnp.float32)).astype(q.dtype)

@@ -1,0 +1,66 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skyrim_tpu.ops.flash_window_attention import (
+    flash_window_attention,
+    reference_window_attention,
+)
+
+
+def _inputs(n_win=8, heads=2, wlen=16, hd=8, with_mask=True, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(n_win, heads, wlen, hd)), jnp.float32)
+        for _ in range(3)
+    )
+    bias = jnp.asarray(rng.normal(size=(heads, wlen, wlen)) * 0.1, jnp.float32)
+    mask = None
+    if with_mask:
+        nz, nh, nw = 2, 2, 2
+        m = np.zeros((nz, nh, wlen, wlen), np.float32)
+        m[-1, -1, :, wlen // 2 :] = -1e9  # block some keys in edge windows
+        mask = jnp.asarray(m)
+    return q, k, v, bias, mask
+
+
+def test_parity_with_mask():
+    q, k, v, bias, mask = _inputs()
+    ref = reference_window_attention(q, k, v, bias, mask, n_lon_windows=2)
+    out = flash_window_attention(q, k, v, bias, mask, n_lon_windows=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_parity_no_mask():
+    q, k, v, bias, _ = _inputs(with_mask=False)
+    ref = reference_window_attention(q, k, v, bias, None, n_lon_windows=8)
+    out = flash_window_attention(q, k, v, bias, None, n_lon_windows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_bf16_inputs():
+    q, k, v, bias, mask = _inputs(seed=1)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = reference_window_attention(qb, kb, vb, bias, mask, n_lon_windows=2)
+    out = flash_window_attention(qb, kb, vb, bias, mask, n_lon_windows=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_masked_keys_have_zero_weight():
+    """Fully blocking all but one key must make output equal that value row."""
+    n_win, heads, wlen, hd = 1, 1, 8, 4
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(n_win, heads, wlen, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_win, heads, wlen, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_win, heads, wlen, hd)), jnp.float32)
+    bias = jnp.zeros((heads, wlen, wlen), jnp.float32)
+    m = np.full((1, 1, wlen, wlen), -1e9, np.float32)
+    m[..., 3] = 0.0  # only key 3 visible
+    out = flash_window_attention(
+        q, k, v, jnp.asarray(bias), jnp.asarray(m), n_lon_windows=1, interpret=True
+    )
+    expected = np.broadcast_to(np.asarray(v)[0, 0, 3], (wlen, hd))
+    np.testing.assert_allclose(np.asarray(out)[0, 0], expected, atol=1e-5)
