@@ -1,0 +1,77 @@
+"""Bench every model family at full resolution on the current device.
+
+Writes BENCH_SUITE.json: per-model step wall-clock, grid-points/s, and
+10-day rollout projection.  (bench.py stays the driver's single-line
+flagship metric; this is the full matrix.)
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TEN_DAY_STEPS = 40
+
+
+def bench_model(name: str, n_steps: int = 8) -> dict:
+    from skyrim_tpu.models import MODELS
+
+    model = MODELS[name]() if name != "pangu" else MODELS[name]("pangu6")
+    params = model.init_params(jax.random.key(0))
+    x0 = np.zeros(model.state_shape, np.float32)
+    state0 = jax.tree.map(jnp.asarray, model.init_state(params, x0))
+
+    @partial(jax.jit, static_argnums=(2,))
+    def rollout_sum(params, state, n_calls):
+        def body(c, _):
+            s, y = model.advance(params, c)
+            return s, jnp.mean(y.astype(jnp.float32))
+        _, ms = jax.lax.scan(body, state, None, length=n_calls)
+        return jnp.mean(ms)
+
+    def timed(n):
+        n_calls = -(-n // model.frames_out)
+        float(rollout_sum(params, state0, n_calls))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(rollout_sum(params, state0, n_calls))
+            best = min(best, time.perf_counter() - t0)
+        return best, n_calls * model.frames_out
+
+    t_long, n_long = timed(n_steps)
+    t_short, n_short = timed(max(n_steps // 4, 1))
+    per_step = max((t_long - t_short) / max(n_long - n_short, 1), 1e-9)
+    H, W = model.grid.shape
+    return {
+        "model": name,
+        "step_wall_s": round(per_step, 4),
+        "grid_points_per_s": round(H * W * len(model.channels) / per_step, 1),
+        "ten_day_s": round(per_step * TEN_DAY_STEPS, 2),
+        "params_m": round(
+            sum(float(np.prod(p.shape)) for p in jax.tree.leaves(params)) / 1e6, 1
+        ),
+        "grid": [H, W, len(model.channels)],
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    names = sys.argv[1:] or [
+        "dlwp", "fourcastnet", "fourcastnet_v2", "pangu", "fuxi", "fengwu", "graphcast",
+    ]
+    results = {"device": str(jax.devices()[0]), "models": []}
+    for name in names:
+        try:
+            r = bench_model(name)
+            print(json.dumps(r))
+            results["models"].append(r)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+            results["models"].append({"model": name, "error": str(e)[:200]})
+    with open("BENCH_SUITE.json", "w") as fh:
+        json.dump(results, fh, indent=2)
