@@ -56,8 +56,8 @@ class ENSModel(_ECMWFProduct):
                 logger.warning("ENS member %d failed: %s", m, e)
                 continue
             fields.append(member)
-        out = Field.concat(fields, "member")
-        return out
+        # leading ensemble dim named "number" (reference ens.py:361)
+        return Field.concat(fields, "number")
 
     def _fetch_member(self, init, steps, number: int) -> Field:
         grid = GRID_721x1440

@@ -30,7 +30,7 @@ from skyrim_tpu.models.base import (
     make_norm_params,
     normalize,
 )
-from skyrim_tpu.ops.graph import build_graphs, chunked_edge_apply
+from skyrim_tpu.ops.graph import build_graphs, chunked_message_aggregate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,27 +60,43 @@ class MLP(nn.Module):
 
 
 class BipartitePass(nn.Module):
-    """One src→dst message pass over a static bipartite edge set."""
+    """One src→dst message pass over a static bipartite edge set.
+
+    Edge embedding + gather + message MLP + destination segment-sum all
+    run inside one chunk scan (ops/graph.chunked_message_aggregate): the
+    multi-GB (E, L) edge tensors never hit HBM whole.  Raw 4-feature
+    edge inputs come in; only the (n_dst, L) aggregate comes out.
+    """
 
     latent: int
     n_dst: int
     edge_chunks: int = 1
 
     @nn.compact
-    def __call__(self, src_feat, dst_feat, edge_lat, src_idx, dst_idx):
+    def __call__(self, src_feat, dst_feat, edge_feat, src_idx, dst_idx):
         L = self.latent
-        gathered = jnp.concatenate(
-            [edge_lat, src_feat[src_idx], dst_feat[dst_idx]], axis=-1
-        )
-        mlp = MLP(L, L)
+        embed = MLP(L, L, name="edge_embed")
+        mlp = MLP(L, L, name="message")
+        dt = src_feat.dtype
+
+        def message_fn(ef, si, di):
+            e_lat = embed(ef.astype(dt))
+            return mlp(jnp.concatenate([e_lat, src_feat[si], dst_feat[di]], axis=-1))
+
         if self.is_initializing():
-            mlp(gathered[:1])  # create params outside the chunk scan
-        messages = chunked_edge_apply(mlp, gathered, self.edge_chunks)
-        agg = jax.ops.segment_sum(
-            messages, dst_idx, num_segments=self.n_dst, indices_are_sorted=True
+            # create params outside the chunk scan
+            message_fn(edge_feat[:1], src_idx[:1], dst_idx[:1])
+        agg = chunked_message_aggregate(
+            message_fn,
+            (jnp.asarray(edge_feat), jnp.asarray(src_idx), jnp.asarray(dst_idx)),
+            jnp.asarray(dst_idx),
+            self.n_dst,
+            self.edge_chunks,
+            out_dim=L,
+            dtype=dt,
         )
         dst_new = dst_feat + MLP(L, L)(jnp.concatenate([dst_feat, agg], axis=-1))
-        return dst_new, edge_lat + messages
+        return dst_new
 
 
 class ProcessorRound(nn.Module):
@@ -112,19 +128,18 @@ class GraphCastNet(nn.Module):
         L = cfg.latent
         dt = grid_in.dtype
 
-        # --- embed nodes and edges ---
+        # --- embed nodes (edge embedding happens inside the chunk scans;
+        # the multimesh is small enough to embed whole) ---
         grid_lat = MLP(L, L, name="embed_grid")(grid_in)
         mesh_lat = MLP(L, L, name="embed_mesh")(
             jnp.asarray(g["mesh_nfeat"], dt)
         )
-        g2m_lat = MLP(L, L, name="embed_g2m")(jnp.asarray(g["g2m_efeat"], dt))
         mm_lat = MLP(L, L, name="embed_mm")(jnp.asarray(g["mesh_efeat"], dt))
-        m2g_lat = MLP(L, L, name="embed_m2g")(jnp.asarray(g["m2g_efeat"], dt))
 
         # --- encoder: grid → mesh ---
-        mesh_lat, _ = BipartitePass(
+        mesh_lat = BipartitePass(
             L, g["n_mesh"], cfg.edge_chunks, name="g2m"
-        )(grid_lat, mesh_lat, g2m_lat, g["g2m_src"], g["g2m_dst"])
+        )(grid_lat, mesh_lat, g["g2m_efeat"], g["g2m_src"], g["g2m_dst"])
         grid_lat = grid_lat + MLP(L, L, name="grid_update")(grid_lat)
 
         # --- processor: multimesh rounds ---
@@ -134,9 +149,9 @@ class GraphCastNet(nn.Module):
             )(mesh_lat, mm_lat, g["mesh_src"], g["mesh_dst"])
 
         # --- decoder: mesh → grid ---
-        grid_lat, _ = BipartitePass(
+        grid_lat = BipartitePass(
             L, g["n_grid"], cfg.edge_chunks, name="m2g"
-        )(mesh_lat, grid_lat, m2g_lat, g["m2g_src"], g["m2g_dst"])
+        )(mesh_lat, grid_lat, g["m2g_efeat"], g["m2g_src"], g["m2g_dst"])
 
         return MLP(cfg.in_channels, L, final_norm=False, name="head")(grid_lat)
 

@@ -182,3 +182,49 @@ def chunked_edge_apply(fn, edge_inputs: jax.Array, n_chunks: int) -> jax.Array:
     x = x.reshape(n_chunks, chunk, *edge_inputs.shape[1:])
     y = jax.lax.map(fn, x)
     return y.reshape(n_chunks * chunk, *y.shape[2:])[:E]
+
+
+def chunked_message_aggregate(
+    message_fn,
+    edge_arrays: tuple[jax.Array, ...],
+    dst_idx: jax.Array,
+    n_dst: int,
+    n_chunks: int,
+    out_dim: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Compute per-edge messages AND their destination aggregation in one
+    chunk-scanned pass — full (E, L) message/latent tensors never
+    materialize in HBM (at GraphCast scale they are multiple GB each,
+    SURVEY.md §7 hard part 3).
+
+    ``message_fn(*edge_array_chunks) → (chunk, out_dim)``; edges must be
+    sorted by ``dst_idx`` (build_graphs guarantees it); padded tail edges
+    point at segment 0 with zero messages.
+    Returns the (n_dst, out_dim) aggregate.
+    """
+    E = dst_idx.shape[0]
+    chunk = -(-E // n_chunks)
+    pad = chunk * n_chunks - E
+
+    def pad_to(a, fill=0):
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    arrays = tuple(
+        pad_to(a).reshape(n_chunks, chunk, *a.shape[1:]) for a in edge_arrays
+    )
+    # padded edges get a dedicated trash segment (n_dst) we slice away
+    didx = jnp.pad(dst_idx, (0, pad), constant_values=n_dst).reshape(n_chunks, chunk)
+
+    def body(acc, xs):
+        didx_c, *arrs = xs
+        msg = message_fn(*arrs).astype(dtype)
+        acc = acc + jax.ops.segment_sum(
+            msg, didx_c, num_segments=n_dst + 1, indices_are_sorted=True
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((n_dst + 1, out_dim), dtype)
+    acc, _ = jax.lax.scan(body, acc0, (didx, *arrays))
+    return acc[:n_dst]
