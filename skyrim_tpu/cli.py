@@ -69,12 +69,23 @@ def run_forecast(
               help="local dir or s3:// target")
 @click.option("--filter_vars", "-f", type=str, default="",
               help="comma-separated channels to keep when saving")
+@click.option("--remote", "--modal", "remote", is_flag=True,
+              help="run serverless via the remote launcher (reference's --modal)")
 def main(model_name, date, time, lead_time, list_models, initial_conditions,
-         ic_path, output_dir, filter_vars):
+         ic_path, output_dir, filter_vars, remote):
     if list_models:
         click.echo("Available models:")
         for m in MODEL_CHOICES:
             click.echo(f"  {m}")
+        return
+    if remote:
+        from skyrim_tpu.serverless import run_remote
+
+        run_remote(
+            model_name=model_name, date=date, time=time, lead_time=lead_time,
+            initial_conditions=initial_conditions, output_dir=output_dir,
+            filter_vars=filter_vars, ic_path=ic_path,
+        )
         return
     run_forecast(
         model_name, date, time, lead_time, initial_conditions,
