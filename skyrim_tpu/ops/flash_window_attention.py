@@ -73,15 +73,21 @@ def flash_window_attention(
     # block (lon is periodic/unmasked), and bigger tiles amortize grid
     # and DMA overhead.  TW must divide nw so a tile never straddles a
     # (z, lat) mask boundary.
+    import os
+
+    tw_env = os.environ.get("SKYRIM_ATTN_TW")
     tw = 1
-    for cand in (16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
-        # VMEM budget: f32 scores (×~2.5 for softmax temps) dominate,
-        # plus double-buffered q/k/v/out blocks
-        scores_b = cand * heads * wlen * wlen * 4 * 2.5
-        qkvo_b = 4 * cand * heads * wlen * hd * q.dtype.itemsize * 2
-        if nw % cand == 0 and scores_b + qkvo_b < 9 * 2**20:
-            tw = cand
-            break
+    if tw_env and nw % int(tw_env) == 0:
+        tw = int(tw_env)
+    else:
+        for cand in (16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+            # VMEM budget: f32 scores (×~2.5 for softmax temps) dominate,
+            # plus double-buffered q/k/v/out blocks
+            scores_b = cand * heads * wlen * wlen * 4 * 2.5
+            qkvo_b = 4 * cand * heads * wlen * hd * q.dtype.itemsize * 2
+            if nw % cand == 0 and scores_b + qkvo_b < 9 * 2**20:
+                tw = cand
+                break
     n_tiles = n_win // tw
     nw_tiles = nw // tw
 
