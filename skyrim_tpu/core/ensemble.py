@@ -21,11 +21,10 @@ from __future__ import annotations
 import datetime
 
 import jax
-import numpy as np
 
 from skyrim_tpu.core.model import GlobalModel
 from skyrim_tpu.field import Field
-from skyrim_tpu.io.save import SaveConfig, generate_forecast_id, save_forecast
+from skyrim_tpu.io.save import SaveConfig, save_forecast
 from skyrim_tpu.utils.logging import logger
 
 

@@ -13,13 +13,12 @@ from __future__ import annotations
 
 import datetime
 
-import jax
 import numpy as np
 
 from skyrim_tpu.core.prediction import GlobalPrediction
 from skyrim_tpu.data import get_data_source
 from skyrim_tpu.field import Field
-from skyrim_tpu.io.save import SaveConfig, generate_forecast_id, save_forecast
+from skyrim_tpu.io.save import SaveConfig, save_forecast
 from skyrim_tpu.models import MODELS
 from skyrim_tpu.rollout import (
     initial_condition_from_field,

@@ -7,7 +7,6 @@ slicing, nearest-point access, and wind-speed helpers.
 
 from __future__ import annotations
 
-import datetime
 from pathlib import Path
 
 import numpy as np

@@ -30,7 +30,7 @@ import numpy as np
 from skyrim_tpu.data import grib
 from skyrim_tpu.data.ic import ICSource
 from skyrim_tpu.data.transport import http_get
-from skyrim_tpu.data.vocab import CDS_PRESSURE_DATASET, CDS_SINGLE_DATASET, CDS_VOCAB
+from skyrim_tpu.data.vocab import CDS_PRESSURE_DATASET, CDS_SINGLE_DATASET, CDS_VOCAB  # noqa: F401 (re-exported)
 from skyrim_tpu.field import Field
 from skyrim_tpu.grid import GRID_721x1440
 from skyrim_tpu.io.save import LOCAL_CACHE

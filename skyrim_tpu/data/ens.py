@@ -15,7 +15,7 @@ from typing import Sequence
 import numpy as np
 
 from skyrim_tpu.data.ic import ICSource
-from skyrim_tpu.data.ifs import _ECMWFProduct, ifs_stream
+from skyrim_tpu.data.ifs import _ECMWFProduct
 from skyrim_tpu.data.vocab import ENS_VOCAB
 from skyrim_tpu.field import Field
 from skyrim_tpu.grid import GRID_721x1440

@@ -19,7 +19,7 @@ from skyrim_tpu.data.ic import ICSource
 from skyrim_tpu.data.idx import ecmwf_lookup, parse_ecmwf_index
 from skyrim_tpu.data.nwp_base import NWPProduct
 from skyrim_tpu.data.transport import http_exists
-from skyrim_tpu.data.vocab import ENS_VOCAB, IFS_VOCAB
+from skyrim_tpu.data.vocab import IFS_VOCAB
 from skyrim_tpu.field import Field
 
 BUCKET_URL = "https://ecmwf-forecasts.s3.eu-central-1.amazonaws.com"

@@ -15,7 +15,6 @@ import io
 import json
 import math
 
-import numpy as np
 import pandas as pd
 
 from skyrim_tpu.data.transport import http_get

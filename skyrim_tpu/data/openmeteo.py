@@ -7,7 +7,6 @@ the injectable transport (requests-like SDKs are unavailable here).
 
 from __future__ import annotations
 
-import datetime
 import json
 from functools import lru_cache
 from typing import Sequence

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +19,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from skyrim_tpu.finetune.dataset import FineTuneDataset
-from skyrim_tpu.models.base import PrognosticModel, make_norm_params
-from skyrim_tpu.parallel.mesh import AXES, make_mesh, single_device_mesh
+from skyrim_tpu.models.base import PrognosticModel
+from skyrim_tpu.parallel.mesh import AXES, single_device_mesh
 from skyrim_tpu.parallel.sharding import compatible_spec
 from skyrim_tpu.utils.logging import logger
 from skyrim_tpu.weights.registry import save_checkpoint

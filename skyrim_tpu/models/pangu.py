@@ -23,11 +23,9 @@ whole rollout on device.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from skyrim_tpu import channels as ch

@@ -25,10 +25,9 @@ from functools import partial
 from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from skyrim_tpu.field import Field, to_datetime64
+from skyrim_tpu.field import Field
 from skyrim_tpu.models.base import ModelState, Params, PrognosticModel
 from skyrim_tpu.utils.logging import logger
 

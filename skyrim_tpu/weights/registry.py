@@ -18,7 +18,6 @@ import os
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from skyrim_tpu.io.save import LOCAL_CACHE
 from skyrim_tpu.utils.logging import logger
