@@ -15,18 +15,26 @@ from skyrim_tpu.channels import CHANNEL_SETS, parse_channel  # noqa: F401
 from skyrim_tpu.field import Field  # noqa: F401
 
 
+_LAZY = {
+    "Skyrim": ("skyrim_tpu.core", "Skyrim"),
+    "GlobalModel": ("skyrim_tpu.core", "GlobalModel"),
+    "GlobalEnsemble": ("skyrim_tpu.core", "GlobalEnsemble"),
+    "GlobalPrediction": ("skyrim_tpu.core", "GlobalPrediction"),
+    "GlobalPredictionRollout": ("skyrim_tpu.core", "GlobalPredictionRollout"),
+    "MODELS": ("skyrim_tpu.models", "MODELS"),
+    "SaveConfig": ("skyrim_tpu.io", "SaveConfig"),
+    "save_forecast": ("skyrim_tpu.io", "save_forecast"),
+    "load_forecast": ("skyrim_tpu.io", "load_forecast"),
+    "read_forecast": ("skyrim_tpu.io", "read_forecast"),
+    "ic_ensemble_forecast": ("skyrim_tpu.core.ic_ensemble", "ic_ensemble_forecast"),
+}
+
+
 def __getattr__(name):
     # Lazy imports keep `import skyrim_tpu` light (no jax compile at import).
-    if name == "Skyrim":
-        from skyrim_tpu.core import Skyrim
+    if name in _LAZY:
+        import importlib
 
-        return Skyrim
-    if name == "GlobalPrediction":
-        from skyrim_tpu.core import GlobalPrediction
-
-        return GlobalPrediction
-    if name == "MODELS":
-        from skyrim_tpu.models import MODELS
-
-        return MODELS
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'skyrim_tpu' has no attribute {name!r}")

@@ -61,6 +61,14 @@ class GlobalModel:
             self.model.in_channel_names, self.ic_source, grid=self.model.grid
         )
 
+    def release_model(self):
+        """Free the parameters' device memory (the reference's TODO,
+        base.py:50-55, and the cuda-eviction analog of ensemble.py:40-49)."""
+        import jax
+
+        self.params = None
+        jax.clear_caches()
+
     # -- properties mirroring the reference surface -------------------------
 
     @property

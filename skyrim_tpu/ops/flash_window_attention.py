@@ -30,9 +30,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     scale = hd**-0.5
     # batched over the (windows-in-tile × heads) leading dims: one grid
     # step computes the whole tile with scores living only in VMEM
-    q = q_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
-    k = k_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
-    v = v_ref[...].astype(jnp.float32).reshape(tw * heads, wlen, hd)
+    # keep matmul INPUTS in bf16 (f32 inputs run the MXU ~8× slower);
+    # accumulation stays f32 via preferred_element_type
+    q = q_ref[...].reshape(tw * heads, wlen, hd)
+    k = k_ref[...].reshape(tw * heads, wlen, hd)
+    v = v_ref[...].reshape(tw * heads, wlen, hd)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
@@ -41,7 +43,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     s = s + mask_ref[0, 0][None, None]
     s = jax.nn.softmax(s, axis=-1).reshape(tw * heads, wlen, wlen)
     o = jax.lax.dot_general(
-        s, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        s.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     o_ref[...] = o.reshape(tw, heads, wlen, hd).astype(o_ref.dtype)
 
