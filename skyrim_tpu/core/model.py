@@ -102,7 +102,8 @@ class GlobalModel:
             x0 = initial_condition_from_field(self.model, ic_field)
         else:
             x0 = np.asarray(initial_condition, np.float32)
-        return self.model.init_state(self.params, x0), x0
+        state = self.model.init_state(self.params, x0, start_time=start_time)
+        return state, x0
 
     def predict_one_step(
         self,

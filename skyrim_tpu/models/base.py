@@ -33,17 +33,20 @@ Params = Any
 
 @struct.dataclass
 class ModelState:
-    """Generic rollout state: input history + step counter.
+    """Generic rollout state: input history + step counter + valid time.
 
     x: (n_history, C, H, W) — most recent frame last.
     step: int32 scalar, number of advances taken so far.
     rng: PRNG key (used by stochastic models; threaded deterministically).
+    time_days: f32 scalar, valid time as days since 1970-01-01 (drives
+        time-dependent forcings inside the scan; ~3-minute resolution).
     extra: model-specific pytree (empty dict by default).
     """
 
     x: jax.Array
     step: jax.Array
     rng: jax.Array
+    time_days: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
     extra: Any = struct.field(default_factory=dict)
 
 
@@ -76,7 +79,13 @@ class PrognosticModel(abc.ABC):
 
     # -- rollout protocol ---------------------------------------------------
 
-    def init_state(self, params: Params, x0: jax.Array, rng: jax.Array | None = None) -> ModelState:
+    def init_state(
+        self,
+        params: Params,
+        x0: jax.Array,
+        rng: jax.Array | None = None,
+        start_time: datetime.datetime | None = None,
+    ) -> ModelState:
         x0 = jnp.asarray(x0)
         if x0.ndim == 3:
             x0 = x0[None]
@@ -87,7 +96,17 @@ class PrognosticModel(abc.ABC):
         x0 = x0[-self.n_history :]
         if rng is None:
             rng = jax.random.key(0)
-        return ModelState(x=x0, step=jnp.int32(0), rng=rng)
+        t_days = 0.0
+        if start_time is not None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=start_time.tzinfo)
+            t_days = (start_time - epoch).total_seconds() / 86400.0
+        return ModelState(
+            x=x0, step=jnp.int32(0), rng=rng, time_days=jnp.float32(t_days)
+        )
+
+    @property
+    def _step_days(self) -> float:
+        return self.time_step.total_seconds() / 86400.0
 
     def advance(self, params: Params, state: ModelState) -> tuple[ModelState, jax.Array]:
         """Default advance: apply + shift history window.
@@ -96,7 +115,14 @@ class PrognosticModel(abc.ABC):
         """
         y = self.apply(params, state.x)
         new_x = jnp.concatenate([state.x, y], axis=0)[-self.n_history :]
-        return state.replace(x=new_x, step=state.step + self.frames_out), y
+        return (
+            state.replace(
+                x=new_x,
+                step=state.step + self.frames_out,
+                time_days=state.time_days + self.frames_out * self._step_days,
+            ),
+            y,
+        )
 
     # -- metadata -----------------------------------------------------------
 

@@ -177,4 +177,9 @@ class FuXiModel(PrognosticModel):
         ]
         y = jax.lax.switch(stage, branches, None)
         new_x = jnp.concatenate([state.x, y[None]], axis=0)[-self.n_history:]
-        return state.replace(x=new_x, step=state.step + 1), y[None]
+        new_state = state.replace(
+            x=new_x,
+            step=state.step + 1,
+            time_days=state.time_days + self._step_days,
+        )
+        return new_state, y[None]

@@ -170,26 +170,63 @@ class GraphCastModel(PrognosticModel):
         )
         self.module = GraphCastNet(self.cfg, self.graphs)
 
-    def _grid_input(self, params, x):
-        """(hist, C, H, W) → (n_grid, hist·C + 3 static)."""
+    #: forcing channels appended to the grid input: TISR + 4 clock features
+    N_FORCINGS = 5
+
+    def _forcings(self, time_days):
+        """(5, H, W) time-dependent forcings computed on device
+        (GraphCast's tisr + clock inputs; reference maps tisr via the
+        tp06 slot, graphcast.py:16,40)."""
+        from skyrim_tpu.data.solar import (
+            clock_features_jax,
+            toa_incident_solar_radiation_jax,
+        )
+
+        tisr = toa_incident_solar_radiation_jax(
+            time_days * 86400.0, self.grid.lat, self.grid.lon,
+            integration_hours=self.time_step.total_seconds() / 3600.0,
+        )
+        clock = clock_features_jax(time_days * 86400.0, self.grid.lat, self.grid.lon)
+        tisr = tisr / 1.5e7  # scale to O(1): 6h TOA max ≈ 1361·3600·6
+        return jnp.concatenate([tisr[None], clock], axis=0)
+
+    def _grid_input(self, params, x, time_days):
+        """(hist, C, H, W) → (n_grid, hist·C + 5 forcings + 3 static)."""
         nc = self.cfg.in_channels
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
-        flat = xn.reshape(self.n_history * nc, -1).T  # (n_grid, hist*C)
+        forc = self._forcings(time_days).astype(self.compute_dtype)
+        flat = jnp.concatenate(
+            [xn.reshape(self.n_history * nc, -1), forc.reshape(self.N_FORCINGS, -1)]
+        ).T  # (n_grid, hist·C + 5)
         static = jnp.asarray(self.graphs["grid_nfeat"], flat.dtype)
         return jnp.concatenate([flat, static], axis=-1)
 
     def init_params(self, rng):
         nc = self.cfg.in_channels
         dummy = jnp.zeros(
-            (self.graphs["n_grid"], self.n_history * nc + 3), jnp.float32
+            (self.graphs["n_grid"], self.n_history * nc + self.N_FORCINGS + 3),
+            jnp.float32,
         )
         variables = jax.jit(self.module.init)(rng, dummy)
         return {"net": variables["params"], "norm": make_norm_params(nc)}
 
-    def apply(self, params, x):
+    def _apply_at(self, params, x, time_days):
         nc = self.cfg.in_channels
-        grid_in = self._grid_input(params, x)
+        grid_in = self._grid_input(params, x, time_days)
         delta = self.module.apply({"params": params["net"]}, grid_in)
         delta = delta.T.reshape(nc, self.cfg.lat, self.cfg.lon).astype(jnp.float32)
         xn_last = normalize(params["norm"], x[-1])
         return denormalize(params["norm"], xn_last + delta)[None]
+
+    def apply(self, params, x):
+        return self._apply_at(params, x, jnp.float32(0.0))
+
+    def advance(self, params, state):
+        y = self._apply_at(params, state.x, state.time_days)
+        new_x = jnp.concatenate([state.x, y], axis=0)[-self.n_history :]
+        new_state = state.replace(
+            x=new_x,
+            step=state.step + 1,
+            time_days=state.time_days + self._step_days,
+        )
+        return new_state, y

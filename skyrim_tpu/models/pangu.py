@@ -336,6 +336,9 @@ class PanguModel(PrognosticModel):
         is_24h = (state.step % 4) == 3
         y, anchor = jax.lax.cond(is_24h, step24, step6, None)
         new_state = state.replace(
-            x=y[None], step=state.step + 1, extra={"anchor": anchor}
+            x=y[None],
+            step=state.step + 1,
+            time_days=state.time_days + self._step_days,
+            extra={"anchor": anchor},
         )
         return new_state, y[None]
