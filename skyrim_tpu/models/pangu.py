@@ -313,8 +313,8 @@ class PanguModel(PrognosticModel):
     def apply(self, params, x):
         return self._forward(params["net6"], params, x[-1])[None]
 
-    def init_state(self, params, x0, rng=None):
-        state = super().init_state(params, x0, rng)
+    def init_state(self, params, x0, rng=None, start_time=None):
+        state = super().init_state(params, x0, rng, start_time=start_time)
         if self.variant == "pangu":
             # anchor: last state at a 24h boundary (for the 24h network)
             state = state.replace(extra={"anchor": state.x[-1]})

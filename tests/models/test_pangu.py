@@ -60,3 +60,21 @@ def test_param_structure(tiny_pangu):
     assert "net6" in params and "net24" in params and "norm" in params
     n = model.param_count(params["net6"])
     assert n > 10_000
+
+
+def test_init_state_accepts_start_time(tiny_pangu):
+    """GlobalModel passes start_time= to every model's init_state; the
+    hierarchical Pangu override must accept it (regression)."""
+    import datetime
+    import inspect
+
+    from skyrim_tpu.models import _MODEL_MODULES, MODELS
+
+    for name in _MODEL_MODULES:
+        sig = inspect.signature(MODELS[name].init_state)
+        assert "start_time" in sig.parameters, name
+
+    model, params = tiny_pangu
+    x = np.random.default_rng(0).normal(size=(69, 49, 96)).astype(np.float32)
+    s = model.init_state(params, x, start_time=datetime.datetime(2024, 5, 7))
+    assert abs(float(s.time_days) - 19850.0) < 1e-3
