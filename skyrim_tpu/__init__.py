@@ -11,6 +11,37 @@ plotting, a CLI — all built TPU-first: on-device `lax.scan` rollouts,
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes (off: SKYRIM_NO_JAX_CACHE).
+
+    Weather-model steps are compiled once per (model, shape, sharding);
+    every CLI run / bench / test process otherwise pays that compile
+    again — minutes per model at 0.25°.  This only sets config knobs;
+    jax backends stay uninitialized.
+    """
+    import os
+
+    if os.environ.get("SKYRIM_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "skyrim_tpu", "jax_cache"
+            ),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from skyrim_tpu.channels import CHANNEL_SETS, parse_channel  # noqa: F401
 from skyrim_tpu.field import Field  # noqa: F401
 
