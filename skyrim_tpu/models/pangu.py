@@ -84,6 +84,7 @@ class EarthAttention3D(nn.Module):
     heads: int
     window: tuple[int, int, int]
     n_lon_windows: int = 1
+    n_type_windows: int = 1  # (z-windows × lat-windows): each has its own bias
 
     @nn.compact
     def __call__(self, x, mask):  # x: (nW, wlen, C)
@@ -98,13 +99,18 @@ class EarthAttention3D(nn.Module):
         qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
+        # Earth-specific bias: translation symmetry is broken along the
+        # pressure-level and latitude axes, so every (z, lat) window
+        # position carries its OWN table (windows differing only in lon
+        # share it) — matching the published Pangu parameterization,
+        # where these tables hold most of the model's parameters.
         bias_table = self.param(
             "earth_bias",
             nn.initializers.truncated_normal(0.02),
-            (W.earth_bias_table_size(self.window), self.heads),
+            (W.earth_bias_table_size(self.window), self.n_type_windows, self.heads),
         )
-        bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, h)
-        bias = bias.transpose(2, 0, 1)
+        bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, nt, h)
+        bias = bias.transpose(2, 3, 0, 1)  # (n_types, heads, wlen, wlen)
 
         if _use_pallas():
             out = flash_window_attention(
@@ -139,7 +145,11 @@ class PanguBlock(nn.Module):
         mask = jnp.asarray(mask) if mask is not None else None
         h = W.window_partition(h, win)
         h = EarthAttention3D(
-            self.dim, self.heads, self.window, n_lon_windows=Wd // win[2]
+            self.dim,
+            self.heads,
+            self.window,
+            n_lon_windows=Wd // win[2],
+            n_type_windows=(Z // win[0]) * (H // win[1]),
         )(h, mask)
         h = W.window_reverse(h, win, (Z, H, Wd))
         if self.shifted:

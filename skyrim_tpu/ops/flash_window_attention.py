@@ -8,10 +8,12 @@ without streaming (a whole 144-token window fits VMEM easily), so no
 running-max bookkeeping is needed.
 
 Layout: one grid step per window; all heads of the window are processed
-in-register.  Bias is the per-head earth bias shared by every window;
-the shift mask is factored (nz, nh, wlen, wlen) — the lon axis is
-periodic and needs no mask (ops/windows.py) — and selected by the
-window's (z, lat) block indices via the BlockSpec index map.
+in-register.  The earth-specific bias carries one table per (z, lat)
+window type (lon windows share it — periodic axis) and is selected per
+tile via a BlockSpec index map; the shift mask is factored
+(nz, nh, wlen, wlen) — the lon axis is periodic and needs no mask
+(ops/windows.py) — and selected by the window's (z, lat) block indices
+the same way.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     s = s.reshape(tw, heads, wlen, wlen)
-    s = s + bias_ref[...].astype(jnp.float32)[None]
+    s = s + bias_ref[0].astype(jnp.float32)[None]
     s = s + mask_ref[0, 0][None, None]
     s = jax.nn.softmax(s, axis=-1).reshape(tw * heads, wlen, wlen)
     o = jax.lax.dot_general(
@@ -53,13 +55,21 @@ def flash_window_attention(
     q: jax.Array,  # (nWin, heads, wlen, hd)
     k: jax.Array,
     v: jax.Array,
-    bias: jax.Array,  # (heads, wlen, wlen)
+    bias: jax.Array,  # (n_types, heads, wlen, wlen) or (heads, wlen, wlen)
     mask: jax.Array | None,  # (nz, nh, wlen, wlen) or None
     n_lon_windows: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention over independent windows. Returns (nWin, heads, wlen, hd)."""
+    """Fused attention over independent windows. Returns (nWin, heads, wlen, hd).
+
+    ``bias`` may carry a leading window-type axis (earth-specific bias:
+    one table per (z, lat) window position, shared along the periodic
+    lon axis); a 3-D bias is broadcast to every window.
+    """
     n_win, heads, wlen, hd = q.shape
+    if bias.ndim == 3:
+        bias = bias[None]
+    n_types = bias.shape[0]
     if mask is None:
         nz = nh = 1
         mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)
@@ -68,6 +78,9 @@ def flash_window_attention(
     nw = n_lon_windows
     assert n_win == nz * nh * nw or (nz, nh) == (1, 1), (
         f"windows {n_win} != {nz}x{nh}x{nw}"
+    )
+    assert n_types == 1 or n_win == n_types * nw, (
+        f"windows {n_win} != {n_types} types x {nw} lon windows"
     )
 
     # Tile consecutive lon windows per grid step: they share the mask
@@ -86,7 +99,8 @@ def flash_window_attention(
             # plus double-buffered q/k/v/out blocks
             scores_b = cand * heads * wlen * wlen * 4 * 2.5
             qkvo_b = 4 * cand * heads * wlen * hd * q.dtype.itemsize * 2
-            if nw % cand == 0 and scores_b + qkvo_b < 9 * 2**20:
+            bias_b = heads * wlen * wlen * bias.dtype.itemsize * 2
+            if nw % cand == 0 and scores_b + qkvo_b + bias_b < 6 * 2**20:
                 tw = cand
                 break
     n_tiles = n_win // tw
@@ -96,6 +110,13 @@ def flash_window_attention(
         if (nz, nh) == (1, 1):
             return (0, 0, 0, 0)
         return (t // (nh * nw_tiles), (t // nw_tiles) % nh, 0, 0)
+
+    def bias_index(t):
+        # tiles never straddle a (z, lat) window boundary (tw | nw), so
+        # the whole tile shares one window-type bias block
+        if n_types == 1:
+            return (0, 0, 0, 0)
+        return (t // nw_tiles, 0, 0, 0)
 
     return pl.pallas_call(
         _kernel,
@@ -107,7 +128,7 @@ def flash_window_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tw, heads, wlen, hd), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, wlen, wlen), lambda t: (0, 0, 0),
+            pl.BlockSpec((1, heads, wlen, wlen), bias_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wlen, wlen), mask_index,
                          memory_space=pltpu.VMEM),
@@ -130,7 +151,13 @@ def reference_window_attention(q, k, v, bias, mask, n_lon_windows):
     s = jnp.einsum(
         "whqd,whkd->whqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) * (hd**-0.5)
-    s = s + bias[None].astype(jnp.float32)
+    if bias.ndim == 3:
+        bias = bias[None]
+    nt = bias.shape[0]
+    s = s.reshape(nt, n_win // nt, heads, wlen, wlen) + bias[:, None].astype(
+        jnp.float32
+    )
+    s = s.reshape(n_win, heads, wlen, wlen)
     if mask is not None:
         nz, nh = mask.shape[:2]
         nw = n_lon_windows

@@ -39,6 +39,21 @@ def test_parity_no_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_parity_per_type_bias():
+    """Earth-specific bias: one (wlen, wlen) table per (z, lat) window type."""
+    q, k, v, _, mask = _inputs()
+    n_win, heads, wlen, _ = q.shape
+    n_types, nw = 4, 2  # 2 z-windows × 2 lat-windows, 2 lon windows
+    rng = np.random.default_rng(3)
+    bias = jnp.asarray(rng.normal(size=(n_types, heads, wlen, wlen)) * 0.1, jnp.float32)
+    ref = reference_window_attention(q, k, v, bias, mask, n_lon_windows=nw)
+    out = flash_window_attention(q, k, v, bias, mask, n_lon_windows=nw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # per-type bias must actually differ from broadcasting type 0 everywhere
+    ref0 = reference_window_attention(q, k, v, bias[0], mask, n_lon_windows=nw)
+    assert not np.allclose(np.asarray(ref), np.asarray(ref0))
+
+
 def test_bf16_inputs():
     q, k, v, bias, mask = _inputs(seed=1)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
