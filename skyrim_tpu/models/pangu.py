@@ -89,15 +89,12 @@ class EarthAttention3D(nn.Module):
     @nn.compact
     def __call__(self, x, mask):  # x: (nW, wlen, C)
         from skyrim_tpu.ops.flash_window_attention import (
-            flash_window_attention,
-            reference_window_attention,
+            fused_window_attention,
+            reference_window_attention_qkv,
         )
 
         n_win, wlen, C = x.shape
-        head_dim = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(x)
-        qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
         # Earth-specific bias: translation symmetry is broken along the
         # pressure-level and latitude axes, so every (z, lat) window
@@ -112,16 +109,9 @@ class EarthAttention3D(nn.Module):
         bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, nt, h)
         bias = bias.transpose(2, 3, 0, 1)  # (n_types, heads, wlen, wlen)
 
-        if _use_pallas():
-            out = flash_window_attention(
-                q, k, v, bias, mask, n_lon_windows=self.n_lon_windows
-            )
-        else:
-            out = reference_window_attention(
-                q, k, v, bias, mask, n_lon_windows=self.n_lon_windows
-            )
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
-        return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
+        attn = fused_window_attention if _use_pallas() else reference_window_attention_qkv
+        out = attn(qkv, bias, mask, self.n_lon_windows, self.heads)
+        return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out.astype(x.dtype))
 
 
 class PanguBlock(nn.Module):

@@ -25,6 +25,131 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fused_kernel(qkv_ref, bias_ref, mask_ref, o_ref):
+    """Packed-qkv window attention: (tw, wlen, 3C) → (tw, wlen, C).
+
+    The head split is done with static LANE slices inside VMEM — the
+    XLA path's (nW, wlen, 3, heads, hd) reshape + (nW, heads, wlen, hd)
+    transposes are HBM round-trips of the full activation (~90 ms/step
+    at Pangu scale, measured); here they cost nothing.
+    """
+    tw, wlen, c3 = qkv_ref.shape
+    C = c3 // 3
+    heads = bias_ref.shape[1]
+    hd = C // heads
+    scale = hd**-0.5
+    mask = mask_ref[0, 0]  # (wlen, wlen) additive
+    outs = []
+    for h in range(heads):
+        q = qkv_ref[:, :, h * hd : (h + 1) * hd]
+        k = qkv_ref[:, :, C + h * hd : C + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + h * hd : 2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[0, h][None].astype(jnp.float32) + mask[None]
+        s = jax.nn.softmax(s, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                s.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def fused_window_attention(
+    qkv: jax.Array,  # (nWin, wlen, 3C) packed projection output
+    bias: jax.Array,  # (n_types, heads, wlen, wlen)
+    mask: jax.Array | None,  # (nz, nh, wlen, wlen) or None
+    n_lon_windows: int,
+    heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention straight off the packed qkv GEMM output.
+
+    Returns (nWin, wlen, C) with heads re-merged — directly consumable
+    by the output projection, no HBM relayouts on either side.
+    """
+    n_win, wlen, c3 = qkv.shape
+    C = c3 // 3
+    if bias.ndim == 3:
+        bias = bias[None]
+    n_types = bias.shape[0]
+    if mask is None:
+        nz = nh = 1
+        mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)
+    else:
+        nz, nh = mask.shape[:2]
+    nw = n_lon_windows
+    assert n_win == nz * nh * nw or (nz, nh) == (1, 1)
+    assert n_types == 1 or n_win == n_types * nw
+
+    import os
+
+    tw_env = os.environ.get("SKYRIM_ATTN_TW")
+    tw = 1
+    if tw_env and nw % int(tw_env) == 0:
+        tw = int(tw_env)
+    else:
+        for cand in (32, 30, 16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+            qkv_b = cand * wlen * c3 * qkv.dtype.itemsize * 2
+            out_b = cand * wlen * C * qkv.dtype.itemsize * 2
+            scores_b = cand * wlen * wlen * 4 * 2.5
+            bias_b = heads * wlen * wlen * bias.dtype.itemsize * 2
+            if nw % cand == 0 and qkv_b + out_b + scores_b + bias_b < 40 * 2**20:
+                tw = cand
+                break
+    n_tiles = n_win // tw
+    nw_tiles = nw // tw
+
+    def mask_index(t):
+        if (nz, nh) == (1, 1):
+            return (0, 0, 0, 0)
+        return (t // (nh * nw_tiles), (t // nw_tiles) % nh, 0, 0)
+
+    def bias_index(t):
+        if n_types == 1:
+            return (0, 0, 0, 0)
+        return (t // nw_tiles, 0, 0, 0)
+
+    return pl.pallas_call(
+        _fused_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tw, wlen, c3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, wlen, wlen), bias_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wlen, wlen), mask_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tw, wlen, C), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_win, wlen, C), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_win * heads * wlen * wlen * (C // heads),
+            bytes_accessed=n_win * wlen * (c3 + C) * qkv.dtype.itemsize,
+            transcendentals=n_win * heads * wlen * wlen,
+        ),
+    )(qkv, bias, mask)
+
+
+def reference_window_attention_qkv(qkv, bias, mask, n_lon_windows, heads):
+    """Pure-XLA parity path for fused_window_attention (packed qkv)."""
+    n_win, wlen, c3 = qkv.shape
+    C = c3 // 3
+    hd = C // heads
+    parts = qkv.reshape(n_win, wlen, 3, heads, hd)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    out = reference_window_attention(q, k, v, bias, mask, n_lon_windows)
+    return out.transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     tw, heads = q_ref.shape[:2]
     hd = q_ref.shape[-1]
@@ -94,13 +219,16 @@ def flash_window_attention(
     if tw_env and nw % int(tw_env) == 0:
         tw = int(tw_env)
     else:
-        for cand in (16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+        for cand in (32, 30, 16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
             # VMEM budget: f32 scores (×~2.5 for softmax temps) dominate,
-            # plus double-buffered q/k/v/out blocks
+            # plus double-buffered q/k/v/out blocks.  Big tiles matter:
+            # per-grid-step overhead (~µs) swamps the compute of small
+            # tiles, so we raise the kernel's VMEM limit below and aim
+            # for the largest tile that fits.
             scores_b = cand * heads * wlen * wlen * 4 * 2.5
             qkvo_b = 4 * cand * heads * wlen * hd * q.dtype.itemsize * 2
             bias_b = heads * wlen * wlen * bias.dtype.itemsize * 2
-            if nw % cand == 0 and scores_b + qkvo_b + bias_b < 6 * 2**20:
+            if nw % cand == 0 and scores_b + qkvo_b + bias_b < 48 * 2**20:
                 tw = cand
                 break
     n_tiles = n_win // tw
@@ -137,6 +265,9 @@ def flash_window_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * n_win * heads * wlen * wlen * hd,
             bytes_accessed=4 * n_win * heads * wlen * hd * q.dtype.itemsize,

@@ -5,7 +5,9 @@ import pytest
 
 from skyrim_tpu.ops.flash_window_attention import (
     flash_window_attention,
+    fused_window_attention,
     reference_window_attention,
+    reference_window_attention_qkv,
 )
 
 
@@ -52,6 +54,41 @@ def test_parity_per_type_bias():
     # per-type bias must actually differ from broadcasting type 0 everywhere
     ref0 = reference_window_attention(q, k, v, bias[0], mask, n_lon_windows=nw)
     assert not np.allclose(np.asarray(ref), np.asarray(ref0))
+
+
+def test_fused_packed_qkv_parity():
+    """Fused packed-qkv kernel vs the head-split XLA reference."""
+    n_win, heads, wlen, hd = 8, 2, 16, 8
+    C = heads * hd
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.normal(size=(n_win, wlen, 3 * C)), jnp.float32)
+    n_types, nw = 4, 2
+    bias = jnp.asarray(rng.normal(size=(n_types, heads, wlen, wlen)) * 0.1, jnp.float32)
+    m = np.zeros((2, 2, wlen, wlen), np.float32)
+    m[-1, -1, :, wlen // 2 :] = -1e9
+    mask = jnp.asarray(m)
+    ref = reference_window_attention_qkv(qkv, bias, mask, nw, heads)
+    out = fused_window_attention(qkv, bias, mask, nw, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # and the packed reference agrees with the unpacked one
+    parts = qkv.reshape(n_win, wlen, 3, heads, hd)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref2 = reference_window_attention(q, k, v, bias, mask, nw)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(ref2.transpose(0, 2, 1, 3).reshape(n_win, wlen, C)),
+        atol=1e-6,
+    )
+
+
+def test_fused_no_mask_shared_bias():
+    n_win, heads, wlen, hd = 8, 2, 16, 8
+    C = heads * hd
+    rng = np.random.default_rng(6)
+    qkv = jnp.asarray(rng.normal(size=(n_win, wlen, 3 * C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, wlen, wlen)) * 0.1, jnp.float32)
+    ref = reference_window_attention_qkv(qkv, bias, None, 8, heads)
+    out = fused_window_attention(qkv, bias, None, 8, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_bf16_inputs():
