@@ -87,13 +87,13 @@ class EarthAttention3D(nn.Module):
     n_type_windows: int = 1  # (z-windows × lat-windows): each has its own bias
 
     @nn.compact
-    def __call__(self, x, mask):  # x: (nW, wlen, C)
+    def __call__(self, x, mask):  # x: (Z, H, W, C) padded to window multiples
         from skyrim_tpu.ops.flash_window_attention import (
-            fused_window_attention,
+            fused_window_attention_4d,
             reference_window_attention_qkv,
         )
 
-        n_win, wlen, C = x.shape
+        Z, H, Wd, C = x.shape
         qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(x)
 
         # Earth-specific bias: translation symmetry is broken along the
@@ -109,8 +109,18 @@ class EarthAttention3D(nn.Module):
         bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, nt, h)
         bias = bias.transpose(2, 3, 0, 1)  # (n_types, heads, wlen, wlen)
 
-        attn = fused_window_attention if _use_pallas() else reference_window_attention_qkv
-        out = attn(qkv, bias, mask, self.n_lon_windows, self.heads)
+        if _use_pallas():
+            # windowing happens inside the kernel via BlockSpec tiling —
+            # no partition/reverse relayouts ever touch HBM
+            out = fused_window_attention_4d(
+                qkv, bias, mask, self.window, self.heads
+            )
+        else:
+            parts = W.window_partition(qkv, self.window)
+            out = reference_window_attention_qkv(
+                parts, bias, mask, self.n_lon_windows, self.heads
+            )
+            out = W.window_reverse(out, self.window, (Z, H, Wd))
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out.astype(x.dtype))
 
 
@@ -133,7 +143,6 @@ class PanguBlock(nn.Module):
             h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
         mask = W.shift_attention_mask((Z, H, Wd), win, shift, self.valid)
         mask = jnp.asarray(mask) if mask is not None else None
-        h = W.window_partition(h, win)
         h = EarthAttention3D(
             self.dim,
             self.heads,
@@ -141,7 +150,6 @@ class PanguBlock(nn.Module):
             n_lon_windows=Wd // win[2],
             n_type_windows=(Z // win[0]) * (H // win[1]),
         )(h, mask)
-        h = W.window_reverse(h, win, (Z, H, Wd))
         if self.shifted:
             h = jnp.roll(h, shift, axis=(0, 1, 2))
         x = x + h

@@ -139,6 +139,127 @@ def fused_window_attention(
     )(qkv, bias, mask)
 
 
+def _fused_kernel_4d(qkv_ref, bias_ref, mask_ref, o_ref):
+    """Windowing + attention fused: block (wz, wh, tw·ww, 3C) → (…, C).
+
+    The window partition/reverse (HBM relayouts of the full activation,
+    ~44 ms/step at Pangu scale) become VMEM-local reshapes here: the
+    BlockSpec already delivers exactly (z-window, h-window, tw lon
+    windows) tiles straight from the (Z, H, W, 3C) array.
+    """
+    wz, wh, tww, c3 = qkv_ref.shape
+    heads = bias_ref.shape[1]
+    wlen = bias_ref.shape[2]
+    ww = wlen // (wz * wh)
+    tw = tww // ww
+    C = c3 // 3
+    hd = C // heads
+    scale = hd**-0.5
+    xb = qkv_ref[...].reshape(wz, wh, tw, ww, c3)
+    xw = xb.transpose(2, 0, 1, 3, 4).reshape(tw, wlen, c3)
+    mask = mask_ref[0, 0]
+    outs = []
+    for h in range(heads):
+        q = xw[:, :, h * hd : (h + 1) * hd]
+        k = xw[:, :, C + h * hd : C + (h + 1) * hd]
+        v = xw[:, :, 2 * C + h * hd : 2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[0, h][None].astype(jnp.float32) + mask[None]
+        s = jax.nn.softmax(s, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                s.astype(xw.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)  # (tw, wlen, C)
+    o = o.reshape(tw, wz, wh, ww, C).transpose(1, 2, 0, 3, 4)
+    o_ref[...] = o.reshape(wz, wh, tww, C)
+
+
+def fused_window_attention_4d(
+    qkv: jax.Array,  # (Z, H, W, 3C) packed projection output, window-padded
+    bias: jax.Array,  # (n_types, heads, wlen, wlen) or (heads, wlen, wlen)
+    mask: jax.Array | None,  # (nz, nh, wlen, wlen) or None
+    window: tuple[int, int, int],
+    heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Window partition + attention + reverse in one kernel.
+
+    Reads (wz, wh, tw·ww, 3C) tiles straight out of the 4D activation
+    (no HBM partition/reverse), splits heads via lane slices, and writes
+    the attention output back in (Z, H, W, C) layout.
+    """
+    Z, H, Wd, c3 = qkv.shape
+    C = c3 // 3
+    wz, wh, ww = window
+    wlen = wz * wh * ww
+    nz, nh, nw = Z // wz, H // wh, Wd // ww
+    if bias.ndim == 3:
+        bias = bias[None]
+    n_types = bias.shape[0]
+    assert n_types in (1, nz * nh)
+    if mask is None:
+        mz = mh = 1
+        mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)
+    else:
+        mz, mh = mask.shape[:2]
+        assert (mz, mh) == (nz, nh)
+
+    import os
+
+    tw_env = os.environ.get("SKYRIM_ATTN_TW")
+    tw = 1
+    if tw_env and nw % int(tw_env) == 0:
+        tw = int(tw_env)
+    else:
+        for cand in (32, 30, 16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+            qkv_b = cand * wlen * c3 * qkv.dtype.itemsize * 2
+            out_b = cand * wlen * C * qkv.dtype.itemsize * 2
+            scores_b = cand * wlen * wlen * 4 * 2.5
+            bias_b = heads * wlen * wlen * bias.dtype.itemsize * 2
+            if nw % cand == 0 and qkv_b + out_b + scores_b + bias_b < 40 * 2**20:
+                tw = cand
+                break
+    ntw = nw // tw
+
+    return pl.pallas_call(
+        _fused_kernel_4d,
+        grid=(nz, nh, ntw),
+        in_specs=[
+            pl.BlockSpec((wz, wh, tw * ww, c3), lambda z, h, t: (z, h, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, heads, wlen, wlen),
+                (lambda z, h, t: (0, 0, 0, 0)) if n_types == 1
+                else (lambda z, h, t: (z * nh + h, 0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, wlen, wlen),
+                (lambda z, h, t: (0, 0, 0, 0)) if (mz, mh) == (1, 1)
+                else (lambda z, h, t: (z, h, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((wz, wh, tw * ww, C), lambda z, h, t: (z, h, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Z, H, Wd, C), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (nz * nh * nw) * heads * wlen * wlen * (C // heads),
+            bytes_accessed=Z * H * Wd * (c3 + C) * qkv.dtype.itemsize,
+            transcendentals=(nz * nh * nw) * heads * wlen * wlen,
+        ),
+    )(qkv, bias, mask)
+
+
 def reference_window_attention_qkv(qkv, bias, mask, n_lon_windows, heads):
     """Pure-XLA parity path for fused_window_attention (packed qkv)."""
     n_win, wlen, c3 = qkv.shape

@@ -91,6 +91,29 @@ def test_fused_no_mask_shared_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_fused_4d_parity():
+    """4D windowing-in-kernel path vs partition + packed reference + reverse."""
+    from skyrim_tpu.ops import windows as W
+    from skyrim_tpu.ops.flash_window_attention import fused_window_attention_4d
+
+    window = (2, 3, 4)
+    wlen = 24
+    Z, H, Wd = 4, 6, 16  # 2 x 2 x 4 windows
+    heads, C = 2, 16
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(Z, H, Wd, 3 * C)), jnp.float32)
+    n_types = (Z // 2) * (H // 3)
+    bias = jnp.asarray(rng.normal(size=(n_types, heads, wlen, wlen)) * 0.1, jnp.float32)
+    m = np.zeros((2, 2, wlen, wlen), np.float32)
+    m[-1, 0, :, : wlen // 3] = -1e9
+    mask = jnp.asarray(m)
+    parts = W.window_partition(qkv, window)
+    ref = reference_window_attention_qkv(parts, bias, mask, Wd // 4, heads)
+    ref = W.window_reverse(ref, window, (Z, H, Wd))
+    out = fused_window_attention_4d(qkv, bias, mask, window, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_bf16_inputs():
     q, k, v, bias, mask = _inputs(seed=1)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
