@@ -195,33 +195,79 @@ class UpSample(nn.Module):
         return nn.LayerNorm(dtype=x.dtype)(x)
 
 
+class ConvParams(nn.Module):
+    """Conv-shaped kernel+bias params WITHOUT running an XLA convolution.
+
+    Param path, shape, and init match flax ``nn.Conv``/``nn.ConvTranspose``
+    exactly (converted reference weights drop straight in); the forward
+    pass consumes them inside the fused patch GEMM in PanguNet instead —
+    XLA's conv on (…, 5)-channel inputs is HBM-bound and ~10× slower
+    than the equivalent single GEMM (measured 33 ms vs ~5 ms per step).
+    """
+
+    kernel_shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (self.kernel_shape[-1],)
+        )
+        return k, b
+
+
 class PanguNet(nn.Module):
     cfg: PanguConfig
 
     @nn.compact
-    def __call__(self, surface, upper):
-        """surface (Cs+Cm, H, W), upper (Vl, L, H, W) → same shapes out."""
+    def __call__(self, x72):
+        """x72 (H, W, n_upper+Cs+Cm) normalized bf16 → (H, W, n_upper+Cs).
+
+        Lane order matches the state contract: 65 upper-air channels
+        (var-major: channel = var·13 + level), 4 surface, then the
+        constant masks appended.
+        """
+        import numpy as np
+
         cfg = self.cfg
         pz, ph, pw = cfg.patch
         C = cfg.embed_dim
         Ht, Wt = cfg.hw_tokens
         Zt = cfg.z_tokens
+        Zu = Zt - 1
+        L, Vl = cfg.levels, cfg.level_vars
+        n_up = L * Vl
+        Cs = cfg.surface_channels + cfg.const_masks
+        lanes = n_up + Cs
+        dt = x72.dtype
 
-        # --- patch embedding (convs stride=patch on the MXU) ---
-        s = surface.transpose(1, 2, 0)  # (H, W, Cs+Cm)
-        s = jnp.pad(s, ((0, (-cfg.lat) % ph), (0, 0), (0, 0)))
-        s_tok = nn.Conv(C, (ph, pw), strides=(ph, pw), dtype=s.dtype, name="embed_surface")(s)
+        # --- patch embedding as ONE grand GEMM over (ph·pw·lanes) ---
+        # Each z-token's 10 input channels (2 levels × 5 vars) are a
+        # static lane subset, so the whole embedding (7 upper tokens +
+        # the surface token) is a single (Ht·Wt, ph·pw·lanes) @
+        # (ph·pw·lanes, Zt·C) matmul with a block-sparse weight built
+        # from the conv-shaped params.
+        ks, bs = ConvParams((ph, pw, Cs, C), name="embed_surface")()
+        ku, bu = ConvParams((pz, ph, pw, Vl, C), name="embed_upper")()
+        Wg = jnp.zeros((ph, pw, lanes, Zt, C), ku.dtype)
+        for zt in range(Zu):
+            for lz in range(pz):
+                level = pz * zt + lz
+                if level >= L:
+                    continue
+                lane_idx = np.arange(Vl) * L + level
+                Wg = Wg.at[:, :, lane_idx, zt, :].set(ku[lz])
+        Wg = Wg.at[:, :, n_up:, Zu, :].set(ks)
+        bias_g = jnp.concatenate([jnp.tile(bu[None], (Zu, 1)), bs[None]], axis=0)
 
-        u = upper.transpose(2, 3, 1, 0)  # (H, W, L, Vl)
-        u = jnp.pad(
-            u, ((0, (-cfg.lat) % ph), (0, 0), (0, (-cfg.levels) % pz), (0, 0))
-        )
-        u = u.transpose(2, 0, 1, 3)  # (Lp, Hp, W, Vl)
-        u_tok = nn.Conv(
-            C, (pz, ph, pw), strides=(pz, ph, pw), dtype=u.dtype, name="embed_upper"
-        )(u)  # (Zu, Ht, Wt, C)
-
-        x = jnp.concatenate([u_tok, s_tok[None]], axis=0)  # (Zt, Ht, Wt, C)
+        xp = jnp.pad(x72, ((0, (-cfg.lat) % ph), (0, 0), (0, 0)))
+        p = xp.reshape(Ht, ph, Wt, pw, lanes).transpose(0, 2, 1, 3, 4)
+        p = p.reshape(Ht * Wt, ph * pw * lanes)
+        tok = p @ Wg.reshape(ph * pw * lanes, Zt * C).astype(dt)
+        tok = tok.reshape(Ht, Wt, Zt, C) + bias_g.astype(dt)
+        x = tok.transpose(2, 0, 1, 3)  # (Zt, Ht, Wt, C)
 
         def stage(x, depth, dim, heads, valid):
             xp, _ = W.pad_to_windows(x, cfg.window)
@@ -243,16 +289,33 @@ class PanguNet(nn.Module):
         x = stage(x, cfg.depths[3], C, cfg.num_heads[3], valid_full)
         x = jnp.concatenate([x, skip], axis=-1)  # (Zt, Ht, Wt, 2C)
 
-        # --- patch recovery (transposed convs) ---
-        s_out = nn.ConvTranspose(
-            cfg.surface_channels, (ph, pw), strides=(ph, pw), dtype=x.dtype,
-            name="recover_surface",
-        )(x[-1])[: cfg.lat]  # (H, W, Cs)
-        u_out = nn.ConvTranspose(
-            cfg.level_vars, (pz, ph, pw), strides=(pz, ph, pw), dtype=x.dtype,
-            name="recover_upper",
-        )(x[:-1])[: cfg.levels, : cfg.lat]  # (L, H, W, Vl)
-        return s_out.transpose(2, 0, 1), u_out.transpose(3, 0, 1, 2)
+        # --- patch recovery as one grand GEMM (inverse of the embed) ---
+        Cout = n_up + cfg.surface_channels
+        kur, bur = ConvParams((pz, ph, pw, 2 * C, Vl), name="recover_upper")()
+        ksr, bsr = ConvParams(
+            (ph, pw, 2 * C, cfg.surface_channels), name="recover_surface"
+        )()
+        # flax ConvTranspose(transpose_kernel=False) applies the kernel
+        # spatially FLIPPED: out[s·h + d] = x[h] · K[k-1-d] — flip here
+        # so converted reference checkpoints keep their conv layout.
+        kur_f = kur[::-1, ::-1, ::-1]
+        ksr_f = ksr[::-1, ::-1]
+        Wr = jnp.zeros((Zt, 2 * C, ph, pw, Cout), kur.dtype)
+        for zt in range(Zu):
+            for lz in range(pz):
+                level = pz * zt + lz
+                if level >= L:
+                    continue
+                lane_idx = np.arange(Vl) * L + level
+                Wr = Wr.at[zt, :, :, :, lane_idx].set(kur_f[lz].transpose(3, 2, 0, 1))
+        Wr = Wr.at[Zu, :, :, :, n_up:].set(ksr_f.transpose(2, 0, 1, 3))
+        bias_out = jnp.concatenate([jnp.repeat(bur, L), bsr])  # (Cout,)
+
+        t = x.transpose(1, 2, 0, 3).reshape(Ht * Wt, Zt * 2 * C)
+        y = t @ Wr.reshape(Zt * 2 * C, ph * pw * Cout).astype(dt)
+        y = y.reshape(Ht, Wt, ph, pw, Cout) + bias_out.astype(dt)
+        y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * ph, Wt * pw, Cout)
+        return y[: cfg.lat]  # (H, W, n_upper + surface)
 
 
 class PanguModel(PrognosticModel):
@@ -277,45 +340,30 @@ class PanguModel(PrognosticModel):
         from skyrim_tpu.grid import LatLonGrid
 
         self.grid = LatLonGrid(self.cfg.lat, self.cfg.lon)
-        # channel split indices (z,q,t,u,v × 13 levels, then surface)
-        self._n_upper = self.cfg.levels * self.cfg.level_vars
-
-    def _split(self, x):
-        """(69, H, W) → surface (4, H, W), upper (5, 13, H, W)."""
-        upper = x[: self._n_upper].reshape(
-            self.cfg.level_vars, self.cfg.levels, *x.shape[-2:]
-        )
-        surface = x[self._n_upper :]
-        return surface, upper
-
-    def _merge(self, surface, upper):
-        return jnp.concatenate([upper.reshape(self._n_upper, *surface.shape[-2:]), surface], axis=0)
 
     def init_params(self, rng):
         nc = len(self.channels)
         ks = jax.random.split(rng, 3)
         H, Wd = self.cfg.lat, self.cfg.lon
-        surf = jnp.zeros((self.cfg.surface_channels + self.cfg.const_masks, H, Wd), jnp.float32)
-        upper = jnp.zeros((self.cfg.level_vars, self.cfg.levels, H, Wd), jnp.float32)
+        n_lanes = nc + self.cfg.const_masks
+        x72 = jnp.zeros((H, Wd, n_lanes), jnp.float32)
         init = jax.jit(self.module.init)
         params = {
-            "net6": init(ks[0], surf, upper)["params"],
+            "net6": init(ks[0], x72)["params"],
             "norm": make_norm_params(nc),
             "consts": jnp.zeros((self.cfg.const_masks, H, Wd), jnp.float32),
         }
         if self.variant == "pangu":
-            params["net24"] = init(ks[1], surf, upper)["params"]
+            params["net24"] = init(ks[1], x72)["params"]
         return params
 
     def _forward(self, net_params, params, x):
         """One network evaluation on a (C, H, W) state."""
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
-        surface, upper = self._split(xn)
-        surface = jnp.concatenate(
-            [surface, params["consts"].astype(self.compute_dtype)], axis=0
-        )
-        s_out, u_out = self.module.apply({"params": net_params}, surface, upper)
-        y = self._merge(s_out, u_out).astype(jnp.float32)
+        consts = params["consts"].astype(self.compute_dtype)
+        x72 = jnp.concatenate([xn, consts], axis=0).transpose(1, 2, 0)
+        y = self.module.apply({"params": net_params}, x72)
+        y = y.transpose(2, 0, 1).astype(jnp.float32)
         return denormalize(params["norm"], y)
 
     def apply(self, params, x):
