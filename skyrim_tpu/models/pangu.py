@@ -101,13 +101,15 @@ class EarthAttention3D(nn.Module):
         # position carries its OWN table (windows differing only in lon
         # share it) — matching the published Pangu parameterization,
         # where these tables hold most of the model's parameters.
+        # layout (n_types, heads, table): expansion is then a LAST-axis
+        # gather straight into the kernel's (n_types, heads, wlen, wlen)
+        # layout — no transpose of the 60 MB expanded tensor per step
         bias_table = self.param(
             "earth_bias",
             nn.initializers.truncated_normal(0.02),
-            (W.earth_bias_table_size(self.window), self.n_type_windows, self.heads),
+            (self.n_type_windows, self.heads, W.earth_bias_table_size(self.window)),
         )
-        bias = bias_table[W.earth_bias_index(self.window)]  # (wlen, wlen, nt, h)
-        bias = bias.transpose(2, 3, 0, 1)  # (n_types, heads, wlen, wlen)
+        bias = bias_table[:, :, W.earth_bias_index(self.window)]  # (nt, h, wlen, wlen)
 
         if _use_pallas():
             # windowing happens inside the kernel via BlockSpec tiling —

@@ -216,11 +216,14 @@ def fused_window_attention_4d(
     if tw_env and nw % int(tw_env) == 0:
         tw = int(tw_env)
     else:
-        # Preference ~10 windows/tile: measured sweet spot on v5e — big
+        # Preference ~8-12 windows/tile: measured sweet spot on v5e — big
         # enough to amortize grid overhead, small enough to double-buffer
         # comfortably (tw=10 ran 4.4x faster than tw=30 at Pangu stage-1
-        # geometry).
-        for cand in (10, 12, 8, 15, 16, 6, 30, 32, 5, 4, 3, 2):
+        # geometry).  tw need NOT divide nw: the grid rounds up and the
+        # final partial tile's out-of-range windows read garbage that
+        # stays contained (attention never mixes windows) and their
+        # writes fall outside the array and are dropped.
+        for cand in (10, 8, 12, 6, 16, 4, 15, 30, 32, 5, 3, 2):
             qkv_b = cand * wlen * c3 * qkv.dtype.itemsize * 2
             out_b = cand * wlen * C * qkv.dtype.itemsize * 2
             scores_b = cand * wlen * wlen * 4 * 2.5
@@ -228,12 +231,13 @@ def fused_window_attention_4d(
             # Mosaic: a block's 2nd-minor dim must be 8-divisible unless
             # it spans the whole axis
             legal = (cand * ww) % 8 == 0 or cand == nw
-            if nw % cand == 0 and legal and (
+            waste_ok = cand <= nw and ((-nw) % cand) * 4 <= nw  # ≤25% waste
+            if legal and waste_ok and (
                 qkv_b + out_b + scores_b + bias_b < 40 * 2**20
             ):
                 tw = cand
                 break
-    ntw = nw // tw
+    ntw = -(-nw // tw)
 
     return pl.pallas_call(
         _fused_kernel_4d,
