@@ -77,6 +77,13 @@ class PrognosticModel(abc.ABC):
         model's own business (stats live inside ``params``).
         """
 
+    def prepare_params(self, params: Params) -> Params:
+        """Attach derived, step-invariant caches to a loaded parameter
+        tree (identity by default).  Caches live under ``params["cache"]``
+        and are stripped from checkpoints (weights/registry) — they are
+        pure functions of the weights, rebuilt here on load."""
+        return params
+
     # -- rollout protocol ---------------------------------------------------
 
     def init_state(

@@ -8,14 +8,27 @@ state (graphcast.py:110-120), encoder → 16 processor rounds on the
 multimesh → decoder, residual output.
 
 TPU mapping: all graph indices are static tables (ops/graph.py); message
-aggregation is sorted ``segment_sum`` (efficient XLA scatter); the
-multi-million-edge encoder/decoder MLPs are chunk-scanned to bound
-activation memory; node/edge MLPs are big dense matmuls on the MXU.
+aggregation is sorted ``segment_sum`` (efficient XLA scatter) for the
+variable-degree grid→mesh encoder and a scatter-free reshape-sum for the
+fixed-degree-3 mesh→grid decoder; the multi-million-edge MLPs are
+chunk-scanned to bound activation memory; node/edge MLPs are big dense
+matmuls on the MXU.
+
+Performance structure: every concat-Dense first layer is factored into
+per-part matmuls so (a) the static edge-geometry embeddings — identical
+every step — are computed ONCE per parameter set into ``params["cache"]``
+(excluded from checkpoints, rebuilt by ``prepare_params``), and (b) the
+src/dst node transforms run per-NODE then gather, instead of per-edge:
+the mesh→grid pass has 3.1M edges but only 41k mesh sources, a 75×
+reduction on that matmul.  The factoring is math-equivalent and
+param-tree-identical to the naive concat form (``SplitDense`` declares
+the same ``Dense_0`` kernel an ``nn.Dense`` over the concat would).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +42,11 @@ from skyrim_tpu.models.base import (
     make_norm_params,
     normalize,
 )
-from skyrim_tpu.ops.graph import build_graphs, chunked_message_aggregate
+from skyrim_tpu.ops.graph import (
+    build_graphs,
+    chunk_static,
+    scanned_message_segment_sum,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,7 +57,7 @@ class GraphCastConfig:
     latent: int = 512
     processor_rounds: int = 16
     mesh_refinements: int = 6
-    edge_chunks: int = 8  # scan chunks for grid2mesh/mesh2grid MLPs
+    edge_chunks: int = 4  # scan chunks for grid2mesh/mesh2grid MLPs
 
 
 class MLP(nn.Module):
@@ -58,101 +75,293 @@ class MLP(nn.Module):
         return h
 
 
+class SplitDense(nn.Module):
+    """Param-compatible with ``nn.Dense(features)`` applied to a concat
+    of ``in_dim`` inputs, but applied one kernel row-block at a time —
+    the factoring that lets static blocks be cached and node blocks run
+    per-node (docstring at module top)."""
+
+    features: int
+    in_dim: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+
+    def block(self, x: jax.Array, lo: int, hi: int) -> jax.Array:
+        """x @ kernel[lo:hi] — one concat-part's contribution, no bias."""
+        return x @ jax.lax.slice_in_dim(self.kernel, lo, hi, axis=0).astype(x.dtype)
+
+    def __call__(self, x):  # full concat application (reference semantics)
+        return self.block(x, 0, self.in_dim) + self.bias.astype(x.dtype)
+
+
+class FactoredEdgeMLP(nn.Module):
+    """Math-equivalent to ``MLP(L, L)`` over ``concat([e, src, dst])``
+    with the first layer split per part.  Param tree matches MLP's
+    (Dense_0 / Dense_1 / LayerNorm_0)."""
+
+    latent: int
+    dtype: object = jnp.bfloat16
+
+    def setup(self):
+        L = self.latent
+        self.Dense_0 = SplitDense(L, 3 * L)
+        self.Dense_1 = nn.Dense(L, dtype=self.dtype)
+        self.LayerNorm_0 = nn.LayerNorm(dtype=self.dtype)
+
+    def edge_part(self, e):
+        return self.Dense_0.block(e, 0, self.latent)
+
+    def src_part(self, s):
+        return self.Dense_0.block(s, self.latent, 2 * self.latent)
+
+    def dst_part(self, d):
+        return self.Dense_0.block(d, 2 * self.latent, 3 * self.latent)
+
+    def finish(self, h_pre):
+        """swish(Σ parts + b₀) → Dense₁ → LayerNorm, parts pre-summed in f32."""
+        h = h_pre + self.Dense_0.bias.astype(h_pre.dtype)
+        h = nn.swish(h).astype(self.dtype)
+        return self.LayerNorm_0(self.Dense_1(h))
+
+
 class BipartitePass(nn.Module):
     """One src→dst message pass over a static bipartite edge set.
 
-    Edge embedding + gather + message MLP + destination segment-sum all
-    run inside one chunk scan (ops/graph.chunked_message_aggregate): the
-    multi-GB (E, L) edge tensors never hit HBM whole.  Raw 4-feature
-    edge inputs come in; only the (n_dst, L) aggregate comes out.
+    All index tables arrive PRE-CHUNKED in scan layout (ops/graph
+    chunk_static) and the static edge bias comes pre-chunked from the
+    params cache, so the per-step XLA program contains no multi-GB
+    pad/reshape staging — per-edge work inside the chunk scan is just
+    two gathers + the factored finish (Dense₁ + LayerNorm); the (E, L)
+    tensors never hit HBM whole.
     """
 
     latent: int
     n_dst: int
-    edge_chunks: int = 1
+    #: pre-chunked tables: efeat_c (nc,ch,4), src_c/dst_c (nc,ch) int32,
+    #: seg_c (nc,ch) int32 with a trash segment at n_dst (None when the
+    #: fixed-degree path is used instead)
+    tables: dict
+    dtype: object = jnp.bfloat16
+    degree: int | None = None  # fixed in-degree (mesh→grid: 3) → no scatter
+    #: dst features are step-invariant (g2m: the cached mesh embedding) —
+    #: their first-layer transform is folded into the cached edge bias,
+    #: removing a per-step 1.6M-row gather (gathers are latency-bound on
+    #: TPU, ~9 µs per 1k rows measured)
+    static_dst: bool = False
 
-    @nn.compact
-    def __call__(self, src_feat, dst_feat, edge_feat, src_idx, dst_idx):
+    def setup(self):
         L = self.latent
-        embed = MLP(L, L, name="edge_embed")
-        mlp = MLP(L, L, name="message")
-        dt = src_feat.dtype
+        self.edge_embed = MLP(L, L)
+        self.message = FactoredEdgeMLP(L, self.dtype)
+        self.MLP_0 = MLP(L, L)  # dst node update
 
-        def message_fn(ef, si, di):
-            e_lat = embed(ef.astype(dt))
-            return mlp(jnp.concatenate([e_lat, src_feat[si], dst_feat[di]], axis=-1))
-
-        if self.is_initializing():
-            # create params outside the chunk scan
-            message_fn(edge_feat[:1], src_idx[:1], dst_idx[:1])
-        agg = chunked_message_aggregate(
-            message_fn,
-            (jnp.asarray(edge_feat), jnp.asarray(src_idx), jnp.asarray(dst_idx)),
-            jnp.asarray(dst_idx),
-            self.n_dst,
-            self.edge_chunks,
-            out_dim=L,
-            dtype=dt,
+    def edge_bias_chunks(self, dst_feat=None) -> jax.Array:
+        """Static per-edge first-layer contribution (nc, ch, L) —
+        step-invariant, cached across steps via params["cache"].  When
+        ``static_dst``, the dst-side transform is folded in here too."""
+        ef_c = jnp.asarray(self.tables["efeat_c"], self.dtype)
+        a_dst = (
+            self.message.dst_part(dst_feat)
+            if self.static_dst and dst_feat is not None
+            else None
         )
-        dst_new = dst_feat + MLP(L, L)(jnp.concatenate([dst_feat, agg], axis=-1))
+        dst_c = jnp.asarray(self.tables["dst_c"])
+
+        def fn(args):
+            e, di = args
+            b = self.message.edge_part(self.edge_embed(e))
+            return b + a_dst[di] if a_dst is not None else b
+
+        return jax.lax.map(fn, (ef_c, dst_c))
+
+    def __call__(self, src_feat, dst_feat, bias_chunks=None):
+        L = self.latent
+        if self.is_initializing():
+            # create all params without touching the big edge tables
+            z = jnp.zeros((1, L), src_feat.dtype)
+            self.edge_embed(jnp.zeros((1, 4), src_feat.dtype))
+            self.message.finish(
+                self.message.edge_part(z)
+                + self.message.src_part(z)
+                + self.message.dst_part(z)
+            )
+            agg = jnp.zeros((self.n_dst, L), src_feat.dtype)
+            return dst_feat + self.MLP_0(
+                jnp.concatenate([dst_feat, agg], axis=-1)
+            )
+
+        if bias_chunks is None:  # opt-out / external-params path
+            bias_chunks = self.edge_bias_chunks(
+                dst_feat if self.static_dst else None
+            )
+        a_src = self.message.src_part(src_feat)
+        src_c = jnp.asarray(self.tables["src_c"])
+
+        if self.degree is not None:
+            # dst ids are repeat(arange(n_dst), degree): the dst-side
+            # transform broadcasts — a reshape, not a gather
+            a_dst = self.message.dst_part(dst_feat)
+            nc, ch = src_c.shape
+            dst_chunk = ch // self.degree
+            n_rows = nc * dst_chunk
+            if n_rows != a_dst.shape[0]:
+                a_dst = jnp.pad(a_dst, ((0, n_rows - a_dst.shape[0]), (0, 0)))
+            a_dst_c = a_dst.reshape(nc, dst_chunk, L)
+
+            def body(_, xs):
+                b, si_c, ad_c = xs
+                h = a_src[si_c] + b
+                h = h.reshape(dst_chunk, self.degree, L) + ad_c[:, None, :]
+                msg = self.message.finish(h)
+                return None, msg.sum(axis=1)
+
+            _, ys = jax.lax.scan(body, None, (bias_chunks, src_c, a_dst_c))
+            agg = ys.reshape(n_rows, L)[: self.n_dst]
+        elif self.static_dst:
+
+            def message_fn(b, si_c):
+                return self.message.finish(a_src[si_c] + b)
+
+            agg = scanned_message_segment_sum(
+                message_fn,
+                (bias_chunks, src_c),
+                jnp.asarray(self.tables["seg_c"]),
+                self.n_dst,
+                out_dim=L,
+                dtype=self.dtype,
+            )
+        else:
+            a_dst = self.message.dst_part(dst_feat)
+            dst_c = jnp.asarray(self.tables["dst_c"])
+
+            def message_fn(b, si_c, di_c):
+                return self.message.finish(a_src[si_c] + a_dst[di_c] + b)
+
+            agg = scanned_message_segment_sum(
+                message_fn,
+                (bias_chunks, src_c, dst_c),
+                jnp.asarray(self.tables["seg_c"]),
+                self.n_dst,
+                out_dim=L,
+                dtype=self.dtype,
+            )
+        dst_new = dst_feat + self.MLP_0(jnp.concatenate([dst_feat, agg], axis=-1))
         return dst_new
 
 
 class ProcessorRound(nn.Module):
-    """One round of message passing on the multimesh (residual)."""
+    """One round of message passing on the multimesh (residual).
+
+    The edge MLP's first layer is factored: node transforms run over the
+    41k mesh nodes then gather, instead of over the 327k edges.
+    """
 
     latent: int
     n_mesh: int
+    dtype: object = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.MLP_0 = FactoredEdgeMLP(self.latent, self.dtype)  # edge update
+        self.MLP_1 = MLP(self.latent, self.latent)  # node update
+
     def __call__(self, nodes, edges, src_idx, dst_idx):
-        L = self.latent
-        gathered = jnp.concatenate([edges, nodes[src_idx], nodes[dst_idx]], axis=-1)
-        new_edges = edges + MLP(L, L)(gathered)
+        h = (
+            self.MLP_0.edge_part(edges).astype(jnp.float32)
+            + self.MLP_0.src_part(nodes)[src_idx]
+            + self.MLP_0.dst_part(nodes)[dst_idx]
+        )
+        new_edges = edges + self.MLP_0.finish(h)
         agg = jax.ops.segment_sum(
             new_edges, dst_idx, num_segments=self.n_mesh, indices_are_sorted=True
         )
-        new_nodes = nodes + MLP(L, L)(jnp.concatenate([nodes, agg], axis=-1))
+        new_nodes = nodes + self.MLP_1(jnp.concatenate([nodes, agg], axis=-1))
         return new_nodes, new_edges
 
 
 class GraphCastNet(nn.Module):
     cfg: GraphCastConfig
     graphs: dict  # static numpy tables
+    dtype: object = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, grid_in):  # (n_grid, F_in) → (n_grid, C_out)
+    def setup(self):
         cfg = self.cfg
         g = self.graphs
         L = cfg.latent
-        dt = grid_in.dtype
-
-        # --- embed nodes (edge embedding happens inside the chunk scans;
-        # the multimesh is small enough to embed whole) ---
-        grid_lat = MLP(L, L, name="embed_grid")(grid_in)
-        mesh_lat = MLP(L, L, name="embed_mesh")(
-            jnp.asarray(g["mesh_nfeat"], dt)
+        ec = cfg.edge_chunks
+        self.embed_grid = MLP(L, L)
+        self.embed_mesh = MLP(L, L)
+        self.embed_mm = MLP(L, L)
+        g2m_tables = {
+            "efeat_c": chunk_static(g["g2m_efeat"], ec),
+            "src_c": chunk_static(g["g2m_src"], ec),
+            "dst_c": chunk_static(g["g2m_dst"], ec),
+            "seg_c": chunk_static(g["g2m_dst"], ec, fill=g["n_mesh"]),
+        }
+        m2g_tables = {
+            "efeat_c": chunk_static(g["m2g_efeat"], ec, multiple=3),
+            "src_c": chunk_static(g["m2g_src"], ec, multiple=3),
+            "dst_c": chunk_static(g["m2g_dst"], ec, multiple=3),
+        }
+        self.g2m = BipartitePass(
+            L, g["n_mesh"], g2m_tables, self.dtype, static_dst=True
         )
-        mm_lat = MLP(L, L, name="embed_mm")(jnp.asarray(g["mesh_efeat"], dt))
+        self.m2g = BipartitePass(
+            L, g["n_grid"], m2g_tables, self.dtype, degree=3
+        )
+        for i in range(cfg.processor_rounds):
+            setattr(self, f"round_{i}", ProcessorRound(L, g["n_mesh"], self.dtype))
+        self.grid_update = MLP(L, L)
+        self.head = MLP(cfg.in_channels, L, final_norm=False)
+
+    def cache_tables(self) -> dict:
+        """Step-invariant tensors — functions of params + static geometry
+        only.  Built once per parameter set (``prepare_params``); the
+        edge biases come out pre-chunked in scan layout."""
+        g = self.graphs
+        dt = self.dtype
+        mesh_embed = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
+        return {
+            "mesh_embed": mesh_embed,
+            "mm_edge": self.embed_mm(jnp.asarray(g["mesh_efeat"], dt)),
+            "g2m_bias": self.g2m.edge_bias_chunks(mesh_embed),
+            "m2g_bias": self.m2g.edge_bias_chunks(),
+        }
+
+    def __call__(self, grid_in, cache: dict | None = None):
+        # (n_grid, F_in) → (n_grid, C_out)
+        cfg = self.cfg
+        g = self.graphs
+        if cache is None and not self.is_initializing():
+            cache = self.cache_tables()
+        cache = cache or {}
+        dt = self.dtype
+
+        grid_lat = self.embed_grid(grid_in)
+        mesh_lat = cache.get("mesh_embed")
+        if mesh_lat is None:
+            mesh_lat = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
+        mm_lat = cache.get("mm_edge")
+        if mm_lat is None:
+            mm_lat = self.embed_mm(jnp.asarray(g["mesh_efeat"], dt))
 
         # --- encoder: grid → mesh ---
-        mesh_lat = BipartitePass(
-            L, g["n_mesh"], cfg.edge_chunks, name="g2m"
-        )(grid_lat, mesh_lat, g["g2m_efeat"], g["g2m_src"], g["g2m_dst"])
-        grid_lat = grid_lat + MLP(L, L, name="grid_update")(grid_lat)
+        mesh_lat = self.g2m(grid_lat, mesh_lat, cache.get("g2m_bias"))
+        grid_lat = grid_lat + self.grid_update(grid_lat)
 
         # --- processor: multimesh rounds ---
         for i in range(cfg.processor_rounds):
-            mesh_lat, mm_lat = ProcessorRound(
-                L, g["n_mesh"], name=f"round_{i}"
-            )(mesh_lat, mm_lat, g["mesh_src"], g["mesh_dst"])
+            mesh_lat, mm_lat = getattr(self, f"round_{i}")(
+                mesh_lat, mm_lat, g["mesh_src"], g["mesh_dst"]
+            )
 
         # --- decoder: mesh → grid ---
-        grid_lat = BipartitePass(
-            L, g["n_grid"], cfg.edge_chunks, name="m2g"
-        )(mesh_lat, grid_lat, g["m2g_efeat"], g["m2g_src"], g["m2g_dst"])
+        grid_lat = self.m2g(mesh_lat, grid_lat, cache.get("m2g_bias"))
 
-        return MLP(cfg.in_channels, L, final_norm=False, name="head")(grid_lat)
+        return self.head(grid_lat)
 
 
 class GraphCastModel(PrognosticModel):
@@ -168,7 +377,7 @@ class GraphCastModel(PrognosticModel):
         self.graphs = build_graphs(
             self.cfg.lat, self.cfg.lon, self.cfg.mesh_refinements
         )
-        self.module = GraphCastNet(self.cfg, self.graphs)
+        self.module = GraphCastNet(self.cfg, self.graphs, self.compute_dtype)
 
     #: forcing channels appended to the grid input: TISR + 4 clock features
     N_FORCINGS = 5
@@ -208,12 +417,38 @@ class GraphCastModel(PrognosticModel):
             jnp.float32,
         )
         variables = jax.jit(self.module.init)(rng, dummy)
-        return {"net": variables["params"], "norm": make_norm_params(nc)}
+        return self.prepare_params(
+            {"net": variables["params"], "norm": make_norm_params(nc)}
+        )
+
+    def prepare_params(self, params):
+        """Attach the step-invariant edge-embedding cache (derived from
+        params; stripped from checkpoints, rebuilt here on load).
+        ``SKYRIM_GC_NO_CACHE=1`` disables it (recompute every step)."""
+        if os.environ.get("SKYRIM_GC_NO_CACHE"):
+            params.pop("cache", None)
+            return params
+        if "cache" not in params:
+            build = jax.jit(
+                lambda p: self.module.apply(
+                    {"params": p}, method=GraphCastNet.cache_tables
+                )
+            )
+            params = dict(params)
+            params["cache"] = build(params["net"])
+        return params
+
+    def param_count(self, params):
+        return super().param_count(
+            {k: v for k, v in params.items() if k != "cache"}
+        )
 
     def _apply_at(self, params, x, time_days):
         nc = self.cfg.in_channels
         grid_in = self._grid_input(params, x, time_days)
-        delta = self.module.apply({"params": params["net"]}, grid_in)
+        delta = self.module.apply(
+            {"params": params["net"]}, grid_in, params.get("cache")
+        )
         delta = delta.T.reshape(nc, self.cfg.lat, self.cfg.lon).astype(jnp.float32)
         xn_last = normalize(params["norm"], x[-1])
         return denormalize(params["norm"], xn_last + delta)[None]

@@ -167,56 +167,35 @@ def build_graphs(nlat: int, nlon: int, refinements: int, radius_factor: float = 
     }  # fmt: skip
 
 
-def chunked_edge_apply(fn, edge_inputs: jax.Array, n_chunks: int) -> jax.Array:
-    """Apply ``fn`` over the edge dim in n_chunks scanned pieces.
-
-    Bounds peak activation memory for multi-million-edge MLPs; pads the
-    edge dim to a multiple of n_chunks (callers slice back).
-    """
-    E = edge_inputs.shape[0]
-    if n_chunks <= 1:
-        return fn(edge_inputs)
+def chunk_static(a: np.ndarray, n_chunks: int, fill=0, multiple: int = 1) -> np.ndarray:
+    """Host-side pre-chunking of a static table into scan layout
+    (n_chunks, chunk, ...).  Chunk size is rounded up to ``multiple``
+    (fixed-degree aggregation needs chunk % degree == 0).  Doing this
+    once at build time keeps multi-GB pad/reshape copies out of the
+    per-step XLA program."""
+    a = np.asarray(a)
+    E = a.shape[0]
     chunk = -(-E // n_chunks)
+    chunk = -(-chunk // multiple) * multiple
     pad = chunk * n_chunks - E
-    x = jnp.pad(edge_inputs, ((0, pad),) + ((0, 0),) * (edge_inputs.ndim - 1))
-    x = x.reshape(n_chunks, chunk, *edge_inputs.shape[1:])
-    y = jax.lax.map(fn, x)
-    return y.reshape(n_chunks * chunk, *y.shape[2:])[:E]
+    widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+    return np.pad(a, widths, constant_values=fill).reshape(
+        n_chunks, chunk, *a.shape[1:]
+    )
 
 
-def chunked_message_aggregate(
+def scanned_message_segment_sum(
     message_fn,
-    edge_arrays: tuple[jax.Array, ...],
-    dst_idx: jax.Array,
+    chunked_arrays: tuple,
+    chunked_dst: jax.Array,
     n_dst: int,
-    n_chunks: int,
     out_dim: int,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Compute per-edge messages AND their destination aggregation in one
-    chunk-scanned pass — full (E, L) message/latent tensors never
-    materialize in HBM (at GraphCast scale they are multiple GB each,
-    SURVEY.md §7 hard part 3).
-
-    ``message_fn(*edge_array_chunks) → (chunk, out_dim)``; edges must be
-    sorted by ``dst_idx`` (build_graphs guarantees it); padded tail edges
-    point at segment 0 with zero messages.
-    Returns the (n_dst, out_dim) aggregate.
+    """Chunk-scanned message + sorted segment-sum aggregation over
+    PRE-CHUNKED (n_chunks, chunk, ...) inputs (chunk_static).  Padded
+    tail edges must point at the trash segment ``n_dst`` (sliced away).
     """
-    E = dst_idx.shape[0]
-    chunk = -(-E // n_chunks)
-    pad = chunk * n_chunks - E
-
-    def pad_to(a, fill=0):
-        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-        return jnp.pad(a, widths, constant_values=fill)
-
-    arrays = tuple(
-        pad_to(a).reshape(n_chunks, chunk, *a.shape[1:]) for a in edge_arrays
-    )
-    # padded edges get a dedicated trash segment (n_dst) we slice away
-    didx = jnp.pad(dst_idx, (0, pad), constant_values=n_dst).reshape(n_chunks, chunk)
-
     def body(acc, xs):
         didx_c, *arrs = xs
         msg = message_fn(*arrs).astype(dtype)
@@ -226,5 +205,6 @@ def chunked_message_aggregate(
         return acc, None
 
     acc0 = jnp.zeros((n_dst + 1, out_dim), dtype)
-    acc, _ = jax.lax.scan(body, acc0, (didx, *arrays))
+    acc, _ = jax.lax.scan(body, acc0, (chunked_dst, *chunked_arrays))
     return acc[:n_dst]
+

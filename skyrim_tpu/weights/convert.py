@@ -54,6 +54,93 @@ def convert_conv3d(sd: Mapping, prefix: str) -> dict:
     return out
 
 
+def convert_convtranspose2d(sd: Mapping, prefix: str) -> dict:
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose (kh, kw, I, O)."""
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_convtranspose3d(sd: Mapping, prefix: str) -> dict:
+    """torch ConvTranspose3d (I, O, kd, kh, kw) → flax (kd, kh, kw, I, O)."""
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 4, 0, 1)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _zeros_bias(d: dict, features: int) -> dict:
+    d.setdefault("bias", np.zeros((features,), np.float32))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Positional-bias table remaps.  Our window attention stores bias tables in
+# the (z/lat absolute-pair, lon relative) layout of ops/windows.py
+# (earth_bias_index); source checkpoints use either the official Pangu
+# encoding (same information, different bijection) or the standard Swin
+# relative table (a subset ours expands losslessly).
+# ---------------------------------------------------------------------------
+
+
+def pangu_bias_permutation(window: tuple[int, int, int]) -> np.ndarray:
+    """perm such that ``ours_table = official_table[..., perm]``.
+
+    Official Pangu (Bi et al. 2023 pseudocode) encodes the (query, key)
+    pair along z as ``z_q + wz·z_k`` and along lat as ``h_q + wh·h_k``;
+    ops/windows.earth_bias_index uses ``z_q·wz + z_k`` / ``h_q·wh + h_k``.
+    Both are bijections onto the same table size wz²·wh²·(2ww−1).
+    """
+    from skyrim_tpu.ops.windows import earth_bias_index, earth_bias_table_size
+
+    wz, wh, ww = window
+    zi, hi, wi = np.arange(wz), np.arange(wh), np.arange(ww)
+    z1, h1, w1 = np.meshgrid(zi, hi, wi, indexing="ij")
+    pos = np.stack([z1.ravel(), h1.ravel(), w1.ravel()], -1)  # (wlen, 3)
+    dz = pos[:, None, 0] + wz * pos[None, :, 0]
+    dh = pos[:, None, 1] + wh * pos[None, :, 1]
+    dw = pos[:, None, 2] - pos[None, :, 2] + (ww - 1)
+    official = (dz * (wh * wh) + dh) * (2 * ww - 1) + dw
+    ours = earth_bias_index(window)
+    perm = np.zeros((earth_bias_table_size(window),), np.int64)
+    perm[ours.ravel()] = official.ravel()
+    return perm
+
+
+def expand_swin_rel_bias(table: np.ndarray, window: tuple[int, int]) -> np.ndarray:
+    """Standard Swin 2D relative table ((2wh−1)(2ww−1), heads) → our
+    lat-absolute/lon-relative table (wh²(2ww−1), heads)."""
+    wh, ww = window
+    hq, hk = np.meshgrid(np.arange(wh), np.arange(wh), indexing="ij")
+    rel_h = (hq - hk + wh - 1).ravel()  # (wh²,) indexed by hq·wh + hk
+    rows = rel_h[:, None] * (2 * ww - 1) + np.arange(2 * ww - 1)[None, :]
+    return table[rows.ravel()]  # (wh²·(2ww−1), heads)
+
+
+def _linear_zb(sd: Mapping, p: str) -> dict:
+    """Linear with a zero bias filled in when the source has none
+    (Swin qkv / PatchMerging reduction are often bias-free)."""
+    d = convert_linear(sd, p)
+    return _zeros_bias(d, d["kernel"].shape[1])
+
+
+def _swin_block(sd: Mapping, p: str, window: tuple[int, int]) -> dict:
+    """One SwinBlock2D (models/fuxi.py) from torch Swin naming:
+    norm1/norm2, attn.{qkv,proj,relative_position_bias_table}, mlp.{fc1,fc2}."""
+    return {
+        "LayerNorm_0": convert_layernorm(sd, f"{p}.norm1"),
+        "LayerNorm_1": convert_layernorm(sd, f"{p}.norm2"),
+        "qkv": _linear_zb(sd, f"{p}.attn.qkv"),
+        "proj": _linear_zb(sd, f"{p}.attn.proj"),
+        "rel_bias": expand_swin_rel_bias(
+            _t(sd[f"{p}.attn.relative_position_bias_table"]), window
+        ),
+        "Dense_0": convert_linear(sd, f"{p}.mlp.fc1"),
+        "Dense_1": convert_linear(sd, f"{p}.mlp.fc2"),
+    }
+
+
 def convert_torch_file(model, path: str | Path):
     """Dispatch by model name; expects a torch-loadable state dict."""
     import torch
@@ -116,6 +203,249 @@ def convert_afno(model, sd: Mapping):
     return {"net": net, "norm": norm}
 
 
+def convert_pangu(model, sd: Mapping):
+    """Pangu-Weather state dict (official-pseudocode naming, as produced
+    by exporting the reference's ONNX graphs: input_layer.conv_surface /
+    conv_upper, layers.{s}.blocks.{b}.*, downsample/upsample,
+    output_layer.conv_*) → our flax tree.
+
+    Handles the hierarchical pair: keys prefixed ``net6.`` / ``net24.``
+    select the 6 h / 24 h networks (reference pairs them,
+    skyrim/core/models/pangu.py:45-46); unprefixed keys convert a single
+    network into ``net6``.
+    """
+    from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+    nets = {}
+    for net_key in ("net6", "net24"):
+        pre = f"{net_key}."
+        sub = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+        if sub:
+            nets[net_key] = sub
+    if not nets:
+        nets["net6"] = dict(sd)
+
+    perm = pangu_bias_permutation(cfg.window)
+
+    def one_net(s: Mapping) -> dict:
+        net = {
+            "embed_surface": convert_conv2d(s, "input_layer.conv_surface"),
+            "embed_upper": convert_conv3d(s, "input_layer.conv_upper"),
+            "recover_surface": convert_convtranspose2d(
+                s, "output_layer.conv_surface"
+            ),
+            "recover_upper": convert_convtranspose3d(s, "output_layer.conv_upper"),
+        }
+        blk = 0
+        for stage, depth in enumerate(cfg.depths):
+            for b in range(depth):
+                p = f"layers.{stage}.blocks.{b}"
+                # official bias layout (table, n_types, heads) → ours
+                # (n_types, heads, table) in the windows.py bijection
+                eb = _t(sd_get(s, f"{p}.attn.earth_bias",
+                               f"{p}.attn.earth_specific_bias"))
+                net[f"PanguBlock_{blk}"] = {
+                    "LayerNorm_0": convert_layernorm(s, f"{p}.norm1"),
+                    "LayerNorm_1": convert_layernorm(s, f"{p}.norm2"),
+                    "Dense_0": convert_linear(s, f"{p}.mlp.fc1"),
+                    "Dense_1": convert_linear(s, f"{p}.mlp.fc2"),
+                    "EarthAttention3D_0": {
+                        "qkv": _linear_zb(s, f"{p}.attn.qkv"),
+                        "proj": _linear_zb(s, f"{p}.attn.proj"),
+                        "earth_bias": eb.transpose(1, 2, 0)[..., perm],
+                    },
+                }
+                blk += 1
+        # PatchMerging: torch concat order (h0w0, h1w0, h0w1, h1w1) →
+        # our reshape order (h0w0, h0w1, h1w0, h1w1): permute row blocks
+        red = _linear_zb(s, "downsample.reduction")
+        k = red["kernel"]
+        c = k.shape[0] // 4
+        red["kernel"] = k.reshape(4, c, -1)[[0, 2, 1, 3]].reshape(k.shape)
+        net["DownSample_0"] = {
+            "Dense_0": red,
+            "LayerNorm_0": convert_layernorm(s, "downsample.norm"),
+        }
+        net["UpSample_0"] = {
+            "Dense_0": _linear_zb(s, "upsample.expand"),
+            "LayerNorm_0": convert_layernorm(s, "upsample.norm"),
+        }
+        return net
+
+    nc = len(model.channels)
+    params = {k: one_net(s) for k, s in nets.items()}
+    params["norm"] = _convert_norm_stats(sd, nc) or make_norm_params(nc)
+    H, W = model.grid.shape
+    params["consts"] = (
+        _t(sd["consts"]) if "consts" in sd
+        else np.zeros((cfg.const_masks, H, W), np.float32)
+    )
+    if model.variant == "pangu" and "net24" not in params:
+        logger.warning("no net24.* keys — reusing the 6h network for 24h steps")
+        params["net24"] = params["net6"]
+    return params
+
+
+def sd_get(sd: Mapping, *keys: str):
+    for k in keys:
+        if k in sd:
+            return sd[k]
+    raise KeyError(keys[0])
+
+
+def convert_dlwp(model, sd: Mapping):
+    """DLWP cubed-sphere U-Net (modulus-style naming blocks.{i}.conv1/2,
+    head) → our CubeUNet tree (reference wraps e2mip://dlwp,
+    skyrim/core/models/dlwp.py:26-27)."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    n_blocks = sum(
+        1 for k in sd if k.startswith("blocks.") and k.endswith(".conv1.weight")
+    )
+    net = {
+        f"CSConvBlock_{i}": {
+            "Conv_0": convert_conv2d(sd, f"blocks.{i}.conv1"),
+            "Conv_1": convert_conv2d(sd, f"blocks.{i}.conv2"),
+        }
+        for i in range(n_blocks)
+    }
+    net["Conv_0"] = convert_conv2d(sd, "head")
+    nc = len(model.channels)
+    return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
+
+
+def convert_sfno(model, sd: Mapping):
+    """FourCastNet-v2 SFNO (fcnv2_sm layout: encoder/decoder convs,
+    blocks.{i}.{norm1,norm2,filter,mlp}, norm) → our tree (reference
+    wraps e2mip://fcnv2_sm, skyrim/core/models/fourcastnet_v2.py:36-37).
+    Spectral filter weights may arrive as separate real/imag arrays or a
+    stacked (2, L, 1, D) array."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+    net = {
+        "encoder": convert_conv2d(sd, "encoder"),
+        "decoder": convert_convtranspose2d(sd, "decoder"),
+        "LayerNorm_0": convert_layernorm(sd, "norm"),
+    }
+    for i in range(cfg.num_blocks):
+        p = f"blocks.{i}"
+        if f"{p}.filter.weight" in sd:
+            w = _t(sd[f"{p}.filter.weight"])
+            wr, wi = w[0], w[1]
+        else:
+            wr = _t(sd[f"{p}.filter.w_real"])
+            wi = _t(sd[f"{p}.filter.w_imag"])
+        net[f"block_{i}"] = {
+            "LayerNorm_0": convert_layernorm(sd, f"{p}.norm1"),
+            "LayerNorm_1": convert_layernorm(sd, f"{p}.norm2"),
+            "Dense_0": convert_linear(sd, f"{p}.mlp.fc1"),
+            "Dense_1": convert_linear(sd, f"{p}.mlp.fc2"),
+            "SpectralFilter_0": {"w_real": wr, "w_imag": wi},
+        }
+    nc = cfg.in_channels
+    return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
+
+
+def convert_graphcast(model, sd: Mapping):
+    """GraphCast (haiku params flattened to torch-Linear orientation:
+    {grid,mesh,mm}_embed, g2m/m2g {edge_embed,message,update},
+    processor.{i}.{edge,node}, grid_update, head — each an MLP with
+    fc1/fc2[/ln]) → our tree.  The reference drives the original
+    haiku/jraph model (skyrim/core/models/graphcast.py:51-54); its
+    params export losslessly to this naming.  The message MLP's fc1 must
+    be packed over concat([edge, src, dst], axis=-1) — the same order
+    models/graphcast.py factors (FactoredEdgeMLP)."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+
+    def mlp(p: str, final_norm: bool = True) -> dict:
+        d = {
+            "Dense_0": convert_linear(sd, f"{p}.fc1"),
+            "Dense_1": convert_linear(sd, f"{p}.fc2"),
+        }
+        if final_norm:
+            d["LayerNorm_0"] = convert_layernorm(sd, f"{p}.ln")
+        return d
+
+    def bipartite(p: str) -> dict:
+        return {
+            "edge_embed": mlp(f"{p}.edge_embed"),
+            "message": mlp(f"{p}.message"),
+            "MLP_0": mlp(f"{p}.update"),
+        }
+
+    net = {
+        "embed_grid": mlp("grid_embed"),
+        "embed_mesh": mlp("mesh_embed"),
+        "embed_mm": mlp("mm_embed"),
+        "g2m": bipartite("g2m"),
+        "m2g": bipartite("m2g"),
+        "grid_update": mlp("grid_update"),
+        "head": mlp("head", final_norm=False),
+    }
+    for i in range(cfg.processor_rounds):
+        net[f"round_{i}"] = {
+            "MLP_0": mlp(f"processor.{i}.edge"),
+            "MLP_1": mlp(f"processor.{i}.node"),
+        }
+    nc = cfg.in_channels
+    return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
+
+
+def convert_fuxi(model, sd: Mapping):
+    """FuXi cascade (stages.{s}.{cube_embed,blocks.{i},head}; one stage
+    per short/medium/long regime) → our tree (reference wraps the
+    earth2studio FuXi ONNX cascade, skyrim/core/models/fuxi.py:53-54).
+    A single-stage source is broadcast across all stages."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+
+    def one_stage(pre: str) -> dict:
+        st = {
+            "cube_embed": convert_conv2d(sd, f"{pre}.cube_embed"),
+            "head": convert_convtranspose2d(sd, f"{pre}.head"),
+        }
+        for i in range(cfg.depth):
+            st[f"block_{i}"] = _swin_block(sd, f"{pre}.blocks.{i}", cfg.window)
+        return st
+
+    stages = [one_stage(f"stages.{s}") for s in range(cfg.n_stages)]
+    nc = cfg.in_channels
+    return {
+        "net": {"stages": stages},
+        "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc),
+    }
+
+
+def convert_fengwu(model, sd: Mapping):
+    """FengWu multi-modal transformer (encoders.{g}/decoders.{g} convs
+    per variable group, fuse_in, fuser.{i} Swin blocks) → our tree
+    (reference wraps the earth2studio FengWu ONNX,
+    skyrim/core/models/fengwu.py:44-53)."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+    n_groups = 1 + cfg.level_vars  # surface + one per upper-air variable
+    net = {"fuse_in": convert_linear(sd, "fuse_in")}
+    for g in range(n_groups):
+        net[f"enc_{g}"] = convert_conv2d(sd, f"encoders.{g}")
+        net[f"dec_{g}"] = convert_convtranspose2d(sd, f"decoders.{g}")
+    for i in range(cfg.depth):
+        net[f"fuser_{i}"] = _swin_block(sd, f"fuser.{i}", cfg.window)
+    nc = cfg.in_channels
+    return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
+
+
 CONVERTERS = {
     "fourcastnet": convert_afno,
+    "fourcastnet_v2": convert_sfno,
+    "pangu": convert_pangu,
+    "dlwp": convert_dlwp,
+    "graphcast": convert_graphcast,
+    "fuxi": convert_fuxi,
+    "fengwu": convert_fengwu,
 }

@@ -31,6 +31,9 @@ def checkpoint_dir(model_name: str) -> Path:
 def save_checkpoint(model_name: str, params, step: int = 0) -> str:
     import orbax.checkpoint as ocp
 
+    if isinstance(params, dict) and "cache" in params:
+        # derived data (PrognosticModel.prepare_params rebuilds it on load)
+        params = {k: v for k, v in params.items() if k != "cache"}
     path = checkpoint_dir(model_name) / str(step)
     path.parent.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
@@ -66,7 +69,7 @@ def load_params(model, rng=None, allow_init: bool = True):
     """Best-effort parameter load for a PrognosticModel instance."""
     try:
         template = None
-        return load_checkpoint(model.name)
+        return model.prepare_params(load_checkpoint(model.name))
     except FileNotFoundError:
         pass
     staged = checkpoint_dir(model.name).with_suffix(".pt")
@@ -75,7 +78,7 @@ def load_params(model, rng=None, allow_init: bool = True):
 
         params = convert_torch_file(model, staged)
         save_checkpoint(model.name, params)
-        return params
+        return model.prepare_params(params)
     if not allow_init:
         raise FileNotFoundError(
             f"no weights for {model.name!r}; set SKYRIM_WEIGHTS_DIR or stage a "
