@@ -416,7 +416,7 @@ def convert_fuxi(model, sd: Mapping):
     stages = [one_stage(f"stages.{s}") for s in range(cfg.n_stages)]
     nc = cfg.in_channels
     return {
-        "net": {"stages": stages},
+        "stages": stages,
         "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc),
     }
 

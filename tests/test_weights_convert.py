@@ -83,3 +83,289 @@ def test_conv2d_conversion_layout():
     sd = {"c.weight": np.zeros((8, 3, 5, 5)), "c.bias": np.zeros(8)}
     out = convert.convert_conv2d(sd, "c")
     assert out["kernel"].shape == (5, 5, 3, 8)
+
+
+# ---------------------------------------------------------------------------
+# Converters for the remaining six architectures: synthetic source state
+# dicts are built by inverting the documented layout against the native
+# tree's shapes, then checked for structural parity and a finite forward.
+# ---------------------------------------------------------------------------
+
+
+def _strip_cache(params):
+    return {k: v for k, v in params.items() if k != "cache"}
+
+
+def _leaves(tree, prefix=""):
+    out = {}
+    items = tree.items() if isinstance(tree, dict) else enumerate(tree)
+    for k, v in items:
+        if isinstance(v, (dict, list)):
+            out.update(_leaves(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = np.asarray(v)
+    return out
+
+
+def _assert_tree_parity_and_run(model, converted, native):
+    a = {k: v.shape for k, v in _leaves(converted).items()}
+    b = {k: v.shape for k, v in _leaves(native).items()}
+    assert set(a) == set(b), (
+        f"missing: {set(b) - set(a)}; extra: {set(a) - set(b)}"
+    )
+    for k in b:
+        assert a[k] == b[k], f"shape mismatch at {k}: {a[k]} vs {b[k]}"
+    params = model.prepare_params(converted)
+    x = np.zeros(model.state_shape, np.float32)
+    y = jax.jit(model.apply)(params, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def _rng_like(rng, arr_shape):
+    return rng.normal(size=arr_shape).astype(np.float32)
+
+
+def _mlp_sd(sd, rng, p, din, dh, dout, ln=True):
+    sd[f"{p}.fc1.weight"] = _rng_like(rng, (dh, din))
+    sd[f"{p}.fc1.bias"] = _rng_like(rng, (dh,))
+    sd[f"{p}.fc2.weight"] = _rng_like(rng, (dout, dh))
+    sd[f"{p}.fc2.bias"] = _rng_like(rng, (dout,))
+    if ln:
+        sd[f"{p}.ln.weight"] = _rng_like(rng, (dout,))
+        sd[f"{p}.ln.bias"] = _rng_like(rng, (dout,))
+
+
+def _ln_sd(sd, rng, p, d):
+    sd[f"{p}.weight"] = _rng_like(rng, (d,))
+    sd[f"{p}.bias"] = _rng_like(rng, (d,))
+
+
+def _linear_sd(sd, rng, p, din, dout, bias=True):
+    sd[f"{p}.weight"] = _rng_like(rng, (dout, din))
+    if bias:
+        sd[f"{p}.bias"] = _rng_like(rng, (dout,))
+
+
+def _swin_block_sd(sd, rng, p, dim, heads, window):
+    wh, ww = window
+    _ln_sd(sd, rng, f"{p}.norm1", dim)
+    _ln_sd(sd, rng, f"{p}.norm2", dim)
+    _linear_sd(sd, rng, f"{p}.attn.qkv", dim, 3 * dim, bias=False)
+    _linear_sd(sd, rng, f"{p}.attn.proj", dim, dim)
+    sd[f"{p}.attn.relative_position_bias_table"] = _rng_like(
+        rng, ((2 * wh - 1) * (2 * ww - 1), heads)
+    )
+    _linear_sd(sd, rng, f"{p}.mlp.fc1", dim, 4 * dim)
+    _linear_sd(sd, rng, f"{p}.mlp.fc2", 4 * dim, dim)
+
+
+def test_pangu_converter():
+    from skyrim_tpu.models.pangu import PanguConfig, PanguModel
+
+    cfg = PanguConfig(
+        lat=49, lon=96, embed_dim=16, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2)
+    )
+    model = PanguModel("pangu6", cfg=cfg)
+    native = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    C = cfg.embed_dim
+    sd = {
+        "input_layer.conv_surface.weight": _rng_like(rng, (C, 7, 4, 4)),
+        "input_layer.conv_surface.bias": _rng_like(rng, (C,)),
+        "input_layer.conv_upper.weight": _rng_like(rng, (C, 5, 2, 4, 4)),
+        "input_layer.conv_upper.bias": _rng_like(rng, (C,)),
+        "output_layer.conv_surface.weight": _rng_like(rng, (2 * C, 4, 4, 4)),
+        "output_layer.conv_surface.bias": _rng_like(rng, (4,)),
+        "output_layer.conv_upper.weight": _rng_like(rng, (2 * C, 5, 2, 4, 4)),
+        "output_layer.conv_upper.bias": _rng_like(rng, (5,)),
+    }
+    _linear_sd(sd, rng, "downsample.reduction", 4 * C, 2 * C, bias=False)
+    _ln_sd(sd, rng, "downsample.norm", 4 * C)
+    _linear_sd(sd, rng, "upsample.expand", 2 * C, 4 * C, bias=False)
+    _ln_sd(sd, rng, "upsample.norm", C)
+    blk = 0
+    for s, depth in enumerate(cfg.depths):
+        dim = C if s in (0, 3) else 2 * C
+        heads = cfg.num_heads[s]
+        n_types = native["net6"][f"PanguBlock_{blk}"]["EarthAttention3D_0"][
+            "earth_bias"
+        ].shape[0]
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            _ln_sd(sd, rng, f"{p}.norm1", dim)
+            _ln_sd(sd, rng, f"{p}.norm2", dim)
+            _linear_sd(sd, rng, f"{p}.attn.qkv", dim, 3 * dim, bias=False)
+            _linear_sd(sd, rng, f"{p}.attn.proj", dim, dim)
+            sd[f"{p}.attn.earth_bias"] = _rng_like(rng, (3312, n_types, heads))
+            _linear_sd(sd, rng, f"{p}.mlp.fc1", dim, 4 * dim)
+            _linear_sd(sd, rng, f"{p}.mlp.fc2", 4 * dim, dim)
+            blk += 1
+    converted = convert.convert_pangu(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_pangu_bias_permutation_is_equivalent():
+    """The remapped table must expand (through OUR index) to the same
+    (wlen, wlen) bias the official index expands to from the source."""
+    from skyrim_tpu.ops.windows import earth_bias_index
+
+    window = (2, 6, 12)
+    wz, wh, ww = window
+    rng = np.random.default_rng(1)
+    official_table = rng.normal(size=(wz * wz * wh * wh * (2 * ww - 1),))
+    # official expansion
+    zi, hi, wi = np.arange(wz), np.arange(wh), np.arange(ww)
+    z1, h1, w1 = np.meshgrid(zi, hi, wi, indexing="ij")
+    pos = np.stack([z1.ravel(), h1.ravel(), w1.ravel()], -1)
+    dz = pos[:, None, 0] + wz * pos[None, :, 0]
+    dh = pos[:, None, 1] + wh * pos[None, :, 1]
+    dw = pos[:, None, 2] - pos[None, :, 2] + (ww - 1)
+    off_idx = (dz * (wh * wh) + dh) * (2 * ww - 1) + dw
+    perm = convert.pangu_bias_permutation(window)
+    ours_table = official_table[perm]
+    np.testing.assert_array_equal(
+        ours_table[earth_bias_index(window)], official_table[off_idx]
+    )
+
+
+def test_swin_rel_bias_expansion_is_equivalent():
+    from skyrim_tpu.ops.windows import earth_bias_index
+
+    window = (6, 12)
+    wh, ww = window
+    rng = np.random.default_rng(2)
+    swin = rng.normal(size=((2 * wh - 1) * (2 * ww - 1), 3))
+    ours = convert.expand_swin_rel_bias(swin, window)
+    # expand both to (wlen, wlen) and compare
+    hq, wq = np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    pos = np.stack([hq.ravel(), wq.ravel()], -1)
+    dh = pos[:, None, 0] - pos[None, :, 0] + wh - 1
+    dw = pos[:, None, 1] - pos[None, :, 1] + ww - 1
+    swin_idx = dh * (2 * ww - 1) + dw
+    np.testing.assert_array_equal(
+        ours[earth_bias_index((1, wh, ww))], swin[swin_idx]
+    )
+
+
+def test_dlwp_converter():
+    from skyrim_tpu.models.dlwp import DLWPModel
+
+    model = DLWPModel(face_size=16, features=(8, 16))
+    native = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    sd = {}
+    for i, blk in enumerate(k for k in native["net"] if k.startswith("CSConvBlock")):
+        for j, conv in enumerate(("conv1", "conv2")):
+            kern = native["net"][blk][f"Conv_{j}"]["kernel"]
+            kh, kw, ci, co = kern.shape
+            sd[f"blocks.{i}.{conv}.weight"] = _rng_like(rng, (co, ci, kh, kw))
+            sd[f"blocks.{i}.{conv}.bias"] = _rng_like(rng, (co,))
+    kh, kw, ci, co = native["net"]["Conv_0"]["kernel"].shape
+    sd["head.weight"] = _rng_like(rng, (co, ci, kh, kw))
+    sd["head.bias"] = _rng_like(rng, (co,))
+    converted = convert.convert_dlwp(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_sfno_converter():
+    from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
+
+    cfg = SFNOConfig(lat=49, lon=96, in_channels=5, embed_dim=16, num_blocks=2,
+                     scale_factor=4)
+    model = FourCastNetV2Model(cfg)
+    native = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    D = cfg.embed_dim
+    s = cfg.scale_factor
+    sd = {
+        "encoder.weight": _rng_like(rng, (D, cfg.in_channels, s, s)),
+        "encoder.bias": _rng_like(rng, (D,)),
+        "decoder.weight": _rng_like(rng, (D, cfg.in_channels, s, s)),
+        "decoder.bias": _rng_like(rng, (cfg.in_channels,)),
+    }
+    _ln_sd(sd, rng, "norm", D)
+    L = native["net"]["block_0"]["SpectralFilter_0"]["w_real"].shape[0]
+    for i in range(cfg.num_blocks):
+        p = f"blocks.{i}"
+        _ln_sd(sd, rng, f"{p}.norm1", D)
+        _ln_sd(sd, rng, f"{p}.norm2", D)
+        sd[f"{p}.filter.weight"] = _rng_like(rng, (2, L, 1, D))
+        _linear_sd(sd, rng, f"{p}.mlp.fc1", D, 2 * D)
+        _linear_sd(sd, rng, f"{p}.mlp.fc2", 2 * D, D)
+    converted = convert.convert_sfno(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_graphcast_converter():
+    from skyrim_tpu.models.graphcast import GraphCastConfig, GraphCastModel
+
+    cfg = GraphCastConfig(lat=19, lon=36, in_channels=4, latent=16,
+                          processor_rounds=2, mesh_refinements=2, edge_chunks=2)
+    model = GraphCastModel(cfg)
+    native = _strip_cache(model.init_params(jax.random.key(0)))
+    rng = np.random.default_rng(0)
+    L = cfg.latent
+    din = model.n_history * cfg.in_channels + model.N_FORCINGS + 3
+    sd = {}
+    _mlp_sd(sd, rng, "grid_embed", din, L, L)
+    _mlp_sd(sd, rng, "mesh_embed", 3, L, L)
+    _mlp_sd(sd, rng, "mm_embed", 4, L, L)
+    for bp in ("g2m", "m2g"):
+        _mlp_sd(sd, rng, f"{bp}.edge_embed", 4, L, L)
+        _mlp_sd(sd, rng, f"{bp}.message", 3 * L, L, L)
+        _mlp_sd(sd, rng, f"{bp}.update", 2 * L, L, L)
+    for i in range(cfg.processor_rounds):
+        _mlp_sd(sd, rng, f"processor.{i}.edge", 3 * L, L, L)
+        _mlp_sd(sd, rng, f"processor.{i}.node", 2 * L, L, L)
+    _mlp_sd(sd, rng, "grid_update", L, L, L)
+    _mlp_sd(sd, rng, "head", L, L, cfg.in_channels, ln=False)
+    converted = convert.convert_graphcast(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_fuxi_converter():
+    from skyrim_tpu.models.fuxi import FuXiConfig, FuXiModel
+
+    cfg = FuXiConfig(lat=49, lon=96, in_channels=5, embed_dim=16, depth=2,
+                     num_heads=2, stage_steps=2, n_stages=3)
+    model = FuXiModel(cfg)
+    native = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    D, p = cfg.embed_dim, cfg.patch
+    cin = model.n_history * cfg.in_channels
+    sd = {}
+    for s in range(cfg.n_stages):
+        pre = f"stages.{s}"
+        sd[f"{pre}.cube_embed.weight"] = _rng_like(rng, (D, cin, p, p))
+        sd[f"{pre}.cube_embed.bias"] = _rng_like(rng, (D,))
+        sd[f"{pre}.head.weight"] = _rng_like(rng, (D, cfg.in_channels, p, p))
+        sd[f"{pre}.head.bias"] = _rng_like(rng, (cfg.in_channels,))
+        for i in range(cfg.depth):
+            _swin_block_sd(sd, rng, f"{pre}.blocks.{i}", D, cfg.num_heads, cfg.window)
+    converted = convert.convert_fuxi(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_fengwu_converter():
+    from skyrim_tpu.models.fengwu import FengWuConfig, FengWuModel
+
+    cfg = FengWuConfig(lat=49, lon=96, levels=3, surface_channels=2, level_vars=2,
+                       modal_dim=8, fuser_dim=24, depth=2, num_heads=2)
+    model = FengWuModel(cfg)
+    native = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    sd = {}
+    _linear_sd(sd, rng, "fuse_in", cfg.fuser_dim, cfg.fuser_dim)
+    for g in range(1 + cfg.level_vars):
+        ek = native["net"][f"enc_{g}"]["kernel"]
+        kh, kw, ci, co = ek.shape
+        sd[f"encoders.{g}.weight"] = _rng_like(rng, (co, ci, kh, kw))
+        sd[f"encoders.{g}.bias"] = _rng_like(rng, (co,))
+        dk = native["net"][f"dec_{g}"]["kernel"]
+        kh, kw, ci, co = dk.shape
+        sd[f"decoders.{g}.weight"] = _rng_like(rng, (ci, co, kh, kw))
+        sd[f"decoders.{g}.bias"] = _rng_like(rng, (co,))
+    for i in range(cfg.depth):
+        _swin_block_sd(sd, rng, f"fuser.{i}", cfg.fuser_dim, cfg.num_heads, cfg.window)
+    converted = convert.convert_fengwu(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
