@@ -54,6 +54,13 @@ class Trainer:
             optax.clip_by_global_norm(self.config.grad_clip),
             optax.adamw(self.config.learning_rate, weight_decay=self.config.weight_decay),
         )
+        if isinstance(params, dict) and "cache" in params:
+            # derived step-invariant caches (e.g. GraphCast edge biases) are
+            # functions of the weights — training must not treat them as
+            # independent leaves; dropping them selects the exact inline
+            # recompute path in apply(), and prepare_params rebuilds them
+            # for inference after load.
+            params = {k: v for k, v in params.items() if k != "cache"}
         rep = NamedSharding(self.mesh, P())
         self.params = jax.device_put(params, rep)
         self.opt_state = jax.device_put(self.opt.init(params), rep)

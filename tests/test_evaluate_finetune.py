@@ -122,3 +122,32 @@ def test_trainer_reduces_loss(tmp_path, monkeypatch):
 
     restored = load_checkpoint(model.name)
     assert "net" in restored
+
+
+def test_trainer_strips_derived_cache():
+    """GraphCast's params carry a derived edge-embedding cache; training
+    must drop it (it is a function of the weights, not a leaf to learn)
+    and still step through the exact inline recompute path."""
+    import jax
+
+    from skyrim_tpu.finetune import TrainConfig, Trainer
+    from skyrim_tpu.models.graphcast import GraphCastConfig, GraphCastModel
+
+    model = GraphCastModel(GraphCastConfig(
+        lat=19, lon=36, in_channels=4, latent=16, processor_rounds=1,
+        mesh_refinements=2, edge_chunks=2))
+    params = model.init_params(jax.random.key(0))
+    assert "cache" in params
+    trainer = Trainer(model, params, TrainConfig(batch_size=1, n_epochs=1))
+    assert "cache" not in trainer.params
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(1, *model.state_shape)).astype(np.float32)
+    ys = rng.normal(size=(1, model.frames_out, *model.state_shape[1:])).astype(
+        np.float32
+    )
+    # snapshot before stepping — the jitted step donates its input buffers
+    before = np.asarray(trainer.params["net"]["head"]["Dense_0"]["kernel"]).copy()
+    p2, _, loss = trainer._step_fn(trainer.params, trainer.opt_state, xs, ys)
+    assert np.isfinite(float(loss))
+    after = np.asarray(p2["net"]["head"]["Dense_0"]["kernel"])
+    assert not np.allclose(before, after)
