@@ -51,9 +51,7 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
         "step_wall_s": round(per_step, 4),
         "grid_points_per_s": round(H * W * len(model.channels) / per_step, 1),
         "ten_day_s": round(per_step * TEN_DAY_STEPS, 2),
-        "params_m": round(
-            sum(float(np.prod(p.shape)) for p in jax.tree.leaves(params)) / 1e6, 1
-        ),
+        "params_m": round(model.param_count(params) / 1e6, 1),
         "grid": [H, W, len(model.channels)],
     }
 

@@ -43,8 +43,10 @@ from skyrim_tpu.models.base import (
     normalize,
 )
 from skyrim_tpu.ops.graph import (
+    build_block_plan,
     build_graphs,
     chunk_static,
+    pad_rows_to_blocks,
     scanned_message_segment_sum,
 )
 
@@ -256,28 +258,33 @@ class BipartitePass(nn.Module):
 class ProcessorRound(nn.Module):
     """One round of message passing on the multimesh (residual).
 
-    The edge MLP's first layer is factored: node transforms run over the
-    41k mesh nodes then gather, instead of over the 327k edges.
+    Runs entirely in the padded block layout of ops/graph.build_block_plan
+    — edges (B, M, L), dst-sorted and segment-aligned — so the dst-side
+    expansion and the aggregation are batched one-hot matmuls on the MXU
+    instead of latency-bound gathers/scatters.  Padding rows carry
+    garbage but hit no one-hot column, so they never aggregate.  The edge
+    MLP's first layer is factored: node transforms run over the 41k mesh
+    nodes, not the 327k edges.
     """
 
     latent: int
     n_mesh: int
+    plan: dict  # static block plan (+ "src_blocks" (B, M) int32)
     dtype: object = jnp.bfloat16
 
     def setup(self):
         self.MLP_0 = FactoredEdgeMLP(self.latent, self.dtype)  # edge update
         self.MLP_1 = MLP(self.latent, self.latent)  # node update
 
-    def __call__(self, nodes, edges, src_idx, dst_idx):
-        h = (
-            self.MLP_0.edge_part(edges).astype(jnp.float32)
-            + self.MLP_0.src_part(nodes)[src_idx]
-            + self.MLP_0.dst_part(nodes)[dst_idx]
-        )
+    def __call__(self, nodes, edges, onehot):
+        from skyrim_tpu.ops.graph import block_expand_dst, block_segment_sum
+
+        src_b = jnp.asarray(self.plan["src_blocks"])  # (B, M)
+        a_src = self.MLP_0.src_part(nodes)
+        a_dst = block_expand_dst(self.MLP_0.dst_part(nodes), self.plan, onehot)
+        h = self.MLP_0.edge_part(edges) + a_src[src_b] + a_dst
         new_edges = edges + self.MLP_0.finish(h)
-        agg = jax.ops.segment_sum(
-            new_edges, dst_idx, num_segments=self.n_mesh, indices_are_sorted=True
-        )
+        agg = block_segment_sum(new_edges, self.plan, onehot)
         new_nodes = nodes + self.MLP_1(jnp.concatenate([nodes, agg], axis=-1))
         return new_nodes, new_edges
 
@@ -312,8 +319,15 @@ class GraphCastNet(nn.Module):
         self.m2g = BipartitePass(
             L, g["n_grid"], m2g_tables, self.dtype, degree=3
         )
+        mesh_plan = build_block_plan(g["mesh_dst"], g["n_mesh"], target_rows=1024)
+        mesh_plan["src_blocks"] = pad_rows_to_blocks(g["mesh_src"], mesh_plan)
+        mesh_plan["efeat_blocks"] = pad_rows_to_blocks(g["mesh_efeat"], mesh_plan)
+        self.mesh_plan = mesh_plan
         for i in range(cfg.processor_rounds):
-            setattr(self, f"round_{i}", ProcessorRound(L, g["n_mesh"], self.dtype))
+            setattr(
+                self, f"round_{i}",
+                ProcessorRound(L, g["n_mesh"], mesh_plan, self.dtype),
+            )
         self.grid_update = MLP(L, L)
         self.head = MLP(cfg.in_channels, L, final_norm=False)
 
@@ -326,7 +340,11 @@ class GraphCastNet(nn.Module):
         mesh_embed = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
         return {
             "mesh_embed": mesh_embed,
-            "mm_edge": self.embed_mm(jnp.asarray(g["mesh_efeat"], dt)),
+            # multimesh edge latents live in the processor's padded block
+            # layout (B, M, L) from the start
+            "mm_edge": self.embed_mm(
+                jnp.asarray(self.mesh_plan["efeat_blocks"], dt)
+            ),
             "g2m_bias": self.g2m.edge_bias_chunks(mesh_embed),
             "m2g_bias": self.m2g.edge_bias_chunks(),
         }
@@ -346,16 +364,21 @@ class GraphCastNet(nn.Module):
             mesh_lat = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
         mm_lat = cache.get("mm_edge")
         if mm_lat is None:
-            mm_lat = self.embed_mm(jnp.asarray(g["mesh_efeat"], dt))
+            mm_lat = self.embed_mm(
+                jnp.asarray(self.mesh_plan["efeat_blocks"], dt)
+            )
 
         # --- encoder: grid → mesh ---
         mesh_lat = self.g2m(grid_lat, mesh_lat, cache.get("g2m_bias"))
         grid_lat = grid_lat + self.grid_update(grid_lat)
 
-        # --- processor: multimesh rounds ---
+        # --- processor: multimesh rounds (padded block layout) ---
+        from skyrim_tpu.ops.graph import block_onehot
+
+        onehot = block_onehot(self.mesh_plan, dt)
         for i in range(cfg.processor_rounds):
             mesh_lat, mm_lat = getattr(self, f"round_{i}")(
-                mesh_lat, mm_lat, g["mesh_src"], g["mesh_dst"]
+                mesh_lat, mm_lat, onehot
             )
 
         # --- decoder: mesh → grid ---

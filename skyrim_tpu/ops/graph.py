@@ -184,6 +184,113 @@ def chunk_static(a: np.ndarray, n_chunks: int, fill=0, multiple: int = 1) -> np.
     )
 
 
+def build_block_plan(
+    seg_sorted: np.ndarray,
+    n_seg: int,
+    target_rows: int = 2048,
+    row_multiple: int = 8,
+    seg_multiple: int = 8,
+) -> dict:
+    """Segment-aligned block partition of a dst-sorted edge list.
+
+    TPU scatters (segment_sum) and row gathers are latency-bound
+    (~6-18 µs per 1k rows measured on v5e); packing whole segments into
+    fixed-size row blocks turns both the aggregation AND the dst-side
+    expansion into batched one-hot matmuls on the MXU.
+
+    Greedily packs consecutive segments into blocks of ≤ ``target_rows``
+    rows (a segment larger than target_rows gets its own block and M
+    grows to fit it).  Returns numpy tables:
+
+      starts   (B,)      first edge row of each block
+      seg_lo   (B,)      first segment id of each block
+      local    (B, M)    per-row local segment index (SB ⇒ padding row)
+      M, SB              padded rows / segments per block
+      n_seg, E           original sizes
+    """
+    seg = np.asarray(seg_sorted)
+    E = len(seg)
+    # first row of every segment (segments may be empty)
+    seg_start = np.searchsorted(seg, np.arange(n_seg + 1), side="left")
+    blocks = []  # (row_start, seg_lo, n_segs)
+    s = 0
+    while s < n_seg:
+        row0 = seg_start[s]
+        e = s + 1
+        while e < n_seg and seg_start[e + 1] - row0 <= target_rows:
+            e += 1
+        blocks.append((row0, s, e - s))
+        s = e
+    B = len(blocks)
+    M = max(
+        (seg_start[s + n] - r0 for r0, s, n in blocks), default=1
+    )
+    M = max(-(-M // row_multiple) * row_multiple, row_multiple)
+    SB = max(n for _, _, n in blocks)
+    SB = max(-(-SB // seg_multiple) * seg_multiple, seg_multiple)
+    starts = np.array([r0 for r0, _, _ in blocks], np.int32)
+    seg_lo = np.array([s for _, s, _ in blocks], np.int32)
+    local = np.full((B, M), SB, np.int32)  # SB = padding sentinel
+    for b, (r0, s, n) in enumerate(blocks):
+        rows = seg_start[s + n] - r0
+        local[b, :rows] = seg[r0 : r0 + rows] - s
+    # flat (n_seg,) index into (B·SB) block-local aggregates — one static
+    # gather re-assembles instead of a B-piece concat
+    block_of_seg = np.repeat(np.arange(B), [n for _, _, n in blocks])
+    segs = np.arange(n_seg)
+    unpack = (block_of_seg * SB + segs - seg_lo[block_of_seg]).astype(np.int32)
+    return {
+        "starts": starts, "seg_lo": seg_lo, "local": local, "unpack": unpack,
+        "M": int(M), "SB": int(SB), "n_seg": int(n_seg), "E": int(E),
+    }  # fmt: skip
+
+
+def pad_rows_to_blocks(a: np.ndarray, plan: dict) -> np.ndarray:
+    """Re-lay a dst-sorted per-edge table into the plan's padded
+    (B, M, ...) block layout (host-side, for static tables)."""
+    starts, M = plan["starts"], plan["M"]
+    B = len(starts)
+    out = np.zeros((B, M, *a.shape[1:]), a.dtype)
+    E = plan["E"]
+    for b in range(B):
+        r0 = int(starts[b])
+        r1 = int(starts[b + 1]) if b + 1 < B else E
+        out[b, : r1 - r0] = a[r0:r1]
+    return out
+
+
+def block_onehot(plan: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """(B, SB, M) one-hot aggregation operator from the plan's local
+    segment ids; padding rows (local == SB) hit no segment."""
+    local = jnp.asarray(plan["local"])  # (B, M)
+    iota = jnp.arange(plan["SB"], dtype=local.dtype)
+    return (local[:, None, :] == iota[None, :, None]).astype(dtype)
+
+
+def block_segment_sum(data_blocks: jax.Array, plan: dict, onehot=None) -> jax.Array:
+    """Aggregate padded (B, M, D) rows into (n_seg, D) via batched
+    one-hot matmuls (MXU) instead of a scatter."""
+    oh = block_onehot(plan, data_blocks.dtype) if onehot is None else onehot
+    # no explicit f32 accumulation request: the TPU MXU accumulates in
+    # f32 natively for bf16 inputs, and XLA:CPU cannot lower a mixed
+    # BF16xBF16=F32 dot under autodiff
+    agg = jnp.einsum("bsm,bmd->bsd", oh, data_blocks)
+    # blocks hold disjoint consecutive segment ranges → one static gather
+    return agg.reshape(-1, agg.shape[-1])[jnp.asarray(plan["unpack"])]
+
+
+def block_expand_dst(seg_vals: jax.Array, plan: dict, onehot=None) -> jax.Array:
+    """Expand per-segment rows (n_seg, D) to padded per-edge block layout
+    (B, M, D) — the dst-side 'gather' as a batched matmul.  Uses a small
+    (B·SB)-row gather to stage each block's segment range."""
+    SB = plan["SB"]
+    seg_lo = jnp.asarray(plan["seg_lo"])  # (B,)
+    idx = jnp.clip(seg_lo[:, None] + jnp.arange(SB)[None, :], 0, plan["n_seg"] - 1)
+    staged = seg_vals[idx]  # (B, SB, D)
+    oh = block_onehot(plan, seg_vals.dtype) if onehot is None else onehot
+    return jnp.einsum("bsm,bsd->bmd", oh, staged)
+
+
 def scanned_message_segment_sum(
     message_fn,
     chunked_arrays: tuple,
