@@ -32,6 +32,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from skyrim_tpu import channels as ch
@@ -47,7 +48,6 @@ from skyrim_tpu.ops.graph import (
     build_graphs,
     chunk_static,
     pad_rows_to_blocks,
-    scanned_message_segment_sum,
 )
 
 
@@ -143,9 +143,11 @@ class BipartitePass(nn.Module):
 
     latent: int
     n_dst: int
-    #: pre-chunked tables: efeat_c (nc,ch,4), src_c/dst_c (nc,ch) int32,
-    #: seg_c (nc,ch) int32 with a trash segment at n_dst (None when the
-    #: fixed-degree path is used instead)
+    #: static tables.  Fixed-degree mode (mesh→grid): efeat_c/src_c/dst_c
+    #: pre-chunked (nc, ch[, ...]) scan-layout arrays.  Plan mode
+    #: (grid→mesh): a ops/graph block plan dict with src_blocks /
+    #: dst_blocks / efeat_blocks in (B, M[, ...]) layout — aggregation
+    #: runs as batched one-hot matmuls on the MXU, no scatter.
     tables: dict
     dtype: object = jnp.bfloat16
     degree: int | None = None  # fixed in-degree (mesh→grid: 3) → no scatter
@@ -154,6 +156,8 @@ class BipartitePass(nn.Module):
     #: removing a per-step 1.6M-row gather (gathers are latency-bound on
     #: TPU, ~9 µs per 1k rows measured)
     static_dst: bool = False
+    #: scan group count over plan blocks (bounds live activation memory)
+    groups: int = 4
 
     def setup(self):
         L = self.latent
@@ -162,23 +166,36 @@ class BipartitePass(nn.Module):
         self.MLP_0 = MLP(L, L)  # dst node update
 
     def edge_bias_chunks(self, dst_feat=None) -> jax.Array:
-        """Static per-edge first-layer contribution (nc, ch, L) —
+        """Static per-edge first-layer contribution in the mode's layout
+        ((nc, ch, L) scan chunks or (B, M, L) plan blocks) —
         step-invariant, cached across steps via params["cache"].  When
         ``static_dst``, the dst-side transform is folded in here too."""
+        if "plan" in self.tables:
+            plan = self.tables["plan"]
+            G = self.groups
+            B, M = plan["src_blocks"].shape
+            ef = jnp.asarray(plan["efeat_blocks"], self.dtype)
+            di = jnp.asarray(plan["dst_blocks"])
+            a_dst = (
+                self.message.dst_part(dst_feat)
+                if self.static_dst and dst_feat is not None
+                else None
+            )
+
+            def fn(args):
+                e, d = args
+                b = self.message.edge_part(self.edge_embed(e))
+                return b + a_dst[d] if a_dst is not None else b
+
+            out = jax.lax.map(
+                fn, (ef.reshape(G, B // G, M, -1), di.reshape(G, B // G, M))
+            )
+            return out.reshape(B, M, -1)
+
         ef_c = jnp.asarray(self.tables["efeat_c"], self.dtype)
-        a_dst = (
-            self.message.dst_part(dst_feat)
-            if self.static_dst and dst_feat is not None
-            else None
+        return jax.lax.map(
+            lambda e: self.message.edge_part(self.edge_embed(e)), ef_c
         )
-        dst_c = jnp.asarray(self.tables["dst_c"])
-
-        def fn(args):
-            e, di = args
-            b = self.message.edge_part(self.edge_embed(e))
-            return b + a_dst[di] if a_dst is not None else b
-
-        return jax.lax.map(fn, (ef_c, dst_c))
 
     def __call__(self, src_feat, dst_feat, bias_chunks=None):
         L = self.latent
@@ -201,11 +218,11 @@ class BipartitePass(nn.Module):
                 dst_feat if self.static_dst else None
             )
         a_src = self.message.src_part(src_feat)
-        src_c = jnp.asarray(self.tables["src_c"])
 
         if self.degree is not None:
             # dst ids are repeat(arange(n_dst), degree): the dst-side
             # transform broadcasts — a reshape, not a gather
+            src_c = jnp.asarray(self.tables["src_c"])
             a_dst = self.message.dst_part(dst_feat)
             nc, ch = src_c.shape
             dst_chunk = ch // self.degree
@@ -214,43 +231,63 @@ class BipartitePass(nn.Module):
                 a_dst = jnp.pad(a_dst, ((0, n_rows - a_dst.shape[0]), (0, 0)))
             a_dst_c = a_dst.reshape(nc, dst_chunk, L)
 
-            def body(_, xs):
-                b, si_c, ad_c = xs
-                h = a_src[si_c] + b
-                h = h.reshape(dst_chunk, self.degree, L) + ad_c[:, None, :]
-                msg = self.message.finish(h)
-                return None, msg.sum(axis=1)
+            face_c = self.tables.get("face_c")
+            if face_c is not None:
+                # face-structured src: stage per-face vertex latents
+                # (n_faces, degree, L) once, then ONE wide-row gather per
+                # dst — gathers are per-row latency-bound, so 1 row of
+                # degree·L beats degree rows of L
+                a_src_faces = a_src[jnp.asarray(self.tables["faces"])]
 
-            _, ys = jax.lax.scan(body, None, (bias_chunks, src_c, a_dst_c))
+                def body(_, xs):
+                    b, f_c, ad_c = xs
+                    h = a_src_faces[f_c] + b.reshape(dst_chunk, self.degree, L)
+                    msg = self.message.finish(h + ad_c[:, None, :])
+                    return None, msg.sum(axis=1)
+
+                _, ys = jax.lax.scan(
+                    body, None,
+                    (bias_chunks, jnp.asarray(face_c), a_dst_c),
+                )
+            else:
+
+                def body(_, xs):
+                    b, si_c, ad_c = xs
+                    h = a_src[si_c] + b
+                    h = h.reshape(dst_chunk, self.degree, L) + ad_c[:, None, :]
+                    msg = self.message.finish(h)
+                    return None, msg.sum(axis=1)
+
+                _, ys = jax.lax.scan(body, None, (bias_chunks, src_c, a_dst_c))
             agg = ys.reshape(n_rows, L)[: self.n_dst]
-        elif self.static_dst:
-
-            def message_fn(b, si_c):
-                return self.message.finish(a_src[si_c] + b)
-
-            agg = scanned_message_segment_sum(
-                message_fn,
-                (bias_chunks, src_c),
-                jnp.asarray(self.tables["seg_c"]),
-                self.n_dst,
-                out_dim=L,
-                dtype=self.dtype,
-            )
         else:
-            a_dst = self.message.dst_part(dst_feat)
-            dst_c = jnp.asarray(self.tables["dst_c"])
+            # plan mode (grid→mesh): per block-group, compute messages
+            # and aggregate via a one-hot matmul — no scatter
+            plan = self.tables["plan"]
+            G = self.groups
+            B, M = plan["src_blocks"].shape
+            grp = B // G
+            SB = plan["SB"]
+            local = jnp.asarray(plan["local"])
+            iota = jnp.arange(SB, dtype=local.dtype)
+            src_b = jnp.asarray(plan["src_blocks"])
 
-            def message_fn(b, si_c, di_c):
-                return self.message.finish(a_src[si_c] + a_dst[di_c] + b)
+            def body(_, xs):
+                b_g, s_g, l_g = xs  # (grp, M, L), (grp, M), (grp, M)
+                msg = self.message.finish(a_src[s_g] + b_g)
+                oh = (l_g[:, None, :] == iota[None, :, None]).astype(msg.dtype)
+                return None, jnp.einsum("bsm,bmd->bsd", oh, msg)
 
-            agg = scanned_message_segment_sum(
-                message_fn,
-                (bias_chunks, src_c, dst_c),
-                jnp.asarray(self.tables["seg_c"]),
-                self.n_dst,
-                out_dim=L,
-                dtype=self.dtype,
+            _, ys = jax.lax.scan(
+                body,
+                None,
+                (
+                    bias_chunks.reshape(G, grp, M, L),
+                    src_b.reshape(G, grp, M),
+                    local.reshape(G, grp, M),
+                ),
             )
+            agg = ys.reshape(B * SB, L)[jnp.asarray(plan["unpack"])]
         dst_new = dst_feat + self.MLP_0(jnp.concatenate([dst_feat, agg], axis=-1))
         return dst_new
 
@@ -302,19 +339,29 @@ class GraphCastNet(nn.Module):
         self.embed_grid = MLP(L, L)
         self.embed_mesh = MLP(L, L)
         self.embed_mm = MLP(L, L)
-        g2m_tables = {
-            "efeat_c": chunk_static(g["g2m_efeat"], ec),
-            "src_c": chunk_static(g["g2m_src"], ec),
-            "dst_c": chunk_static(g["g2m_dst"], ec),
-            "seg_c": chunk_static(g["g2m_dst"], ec, fill=g["n_mesh"]),
-        }
+        g2m_plan = build_block_plan(
+            g["g2m_dst"], g["n_mesh"], target_rows=8192, block_multiple=ec
+        )
+        g2m_plan["src_blocks"] = pad_rows_to_blocks(g["g2m_src"], g2m_plan)
+        g2m_plan["dst_blocks"] = pad_rows_to_blocks(g["g2m_dst"], g2m_plan)
+        g2m_plan["efeat_blocks"] = pad_rows_to_blocks(g["g2m_efeat"], g2m_plan)
+        g2m_tables = {"plan": g2m_plan}
         m2g_tables = {
             "efeat_c": chunk_static(g["m2g_efeat"], ec, multiple=3),
             "src_c": chunk_static(g["m2g_src"], ec, multiple=3),
             "dst_c": chunk_static(g["m2g_dst"], ec, multiple=3),
+            "faces": g["faces"],
         }
+        # face ids chunked to EXACTLY src_c's dst blocking (ch // 3 per
+        # chunk) so the 3 src rows per grid point come from one
+        # 3L-wide face-row gather instead of three L-wide edge gathers
+        dst_chunk = m2g_tables["src_c"].shape[1] // 3
+        face_pad = np.pad(
+            g["m2g_face"], (0, ec * dst_chunk - g["n_grid"])
+        )
+        m2g_tables["face_c"] = face_pad.reshape(ec, dst_chunk)
         self.g2m = BipartitePass(
-            L, g["n_mesh"], g2m_tables, self.dtype, static_dst=True
+            L, g["n_mesh"], g2m_tables, self.dtype, static_dst=True, groups=ec
         )
         self.m2g = BipartitePass(
             L, g["n_grid"], m2g_tables, self.dtype, degree=3

@@ -6,11 +6,13 @@ index tables at setup:
 
 - grid↔mesh bipartite edges (radius query / containing triangle)
 - edge features in the receiver's local east-north frame
-- edges sorted by destination so ``segment_sum`` runs with
-  ``indices_are_sorted=True`` (XLA lowers to an efficient sorted scatter)
+- edges sorted by destination, then packed into segment-aligned fixed
+  blocks (``build_block_plan``) so aggregation and dst-side expansion
+  run as batched one-hot matmuls on the MXU — TPU scatters and row
+  gathers are latency-bound (~6-18 µs per 1k rows measured on v5e)
 
-Message MLPs over the ~1.6M grid2mesh edges are chunk-scanned
-(``edge_chunks``) to bound activation memory on a 16 GB chip.
+Message MLPs over the ~1.6M grid2mesh edges run in group-scanned block
+batches to bound activation memory on a 16 GB chip.
 """
 
 from __future__ import annotations
@@ -154,12 +156,16 @@ def build_graphs(nlat: int, nlon: int, refinements: int, radius_factor: float = 
     m2g_src = tri.reshape(-1)
     m2g_dst = np.repeat(np.arange(n_grid, dtype=np.int64), 3)
     m2g_ef = edge_features(mverts[m2g_src], gxyz[m2g_dst])
+    # m2g_dst is already sorted, so the stable sort is the identity and
+    # edges 3g..3g+2 stay exactly faces[m2g_face[g]] in vertex order —
+    # the face-structured gather in models/graphcast.py relies on this
     m2g_src, m2g_dst, m2g_ef = _sort_by_dst(m2g_src, m2g_dst, m2g_ef)
 
     return {
         "mesh_src": ms, "mesh_dst": md, "mesh_efeat": mef,
         "g2m_src": g2m_src, "g2m_dst": g2m_dst, "g2m_efeat": g2m_ef,
         "m2g_src": m2g_src, "m2g_dst": m2g_dst, "m2g_efeat": m2g_ef,
+        "m2g_face": best_face.astype(np.int32), "faces": faces.astype(np.int32),
         "mesh_nfeat": node_features(mlatlon[:, 0], mlatlon[:, 1]),
         "grid_nfeat": node_features(glat, glon),
         "n_mesh": n_mesh, "n_grid": n_grid,
@@ -190,6 +196,7 @@ def build_block_plan(
     target_rows: int = 2048,
     row_multiple: int = 8,
     seg_multiple: int = 8,
+    block_multiple: int = 1,
 ) -> dict:
     """Segment-aligned block partition of a dst-sorted edge list.
 
@@ -221,6 +228,8 @@ def build_block_plan(
             e += 1
         blocks.append((row0, s, e - s))
         s = e
+    while len(blocks) % block_multiple:  # empty tail blocks for even group
+        blocks.append((E, n_seg, 0))     # splits (scan over block groups)
     B = len(blocks)
     M = max(
         (seg_start[s + n] - r0 for r0, s, n in blocks), default=1
@@ -289,29 +298,4 @@ def block_expand_dst(seg_vals: jax.Array, plan: dict, onehot=None) -> jax.Array:
     staged = seg_vals[idx]  # (B, SB, D)
     oh = block_onehot(plan, seg_vals.dtype) if onehot is None else onehot
     return jnp.einsum("bsm,bsd->bmd", oh, staged)
-
-
-def scanned_message_segment_sum(
-    message_fn,
-    chunked_arrays: tuple,
-    chunked_dst: jax.Array,
-    n_dst: int,
-    out_dim: int,
-    dtype=jnp.float32,
-) -> jax.Array:
-    """Chunk-scanned message + sorted segment-sum aggregation over
-    PRE-CHUNKED (n_chunks, chunk, ...) inputs (chunk_static).  Padded
-    tail edges must point at the trash segment ``n_dst`` (sliced away).
-    """
-    def body(acc, xs):
-        didx_c, *arrs = xs
-        msg = message_fn(*arrs).astype(dtype)
-        acc = acc + jax.ops.segment_sum(
-            msg, didx_c, num_segments=n_dst + 1, indices_are_sorted=True
-        )
-        return acc, None
-
-    acc0 = jnp.zeros((n_dst + 1, out_dim), dtype)
-    acc, _ = jax.lax.scan(body, acc0, (chunked_dst, *chunked_arrays))
-    return acc[:n_dst]
 
