@@ -223,27 +223,35 @@ class ConvParams(nn.Module):
 class PanguNet(nn.Module):
     cfg: PanguConfig
 
-    @nn.compact
-    def __call__(self, x72):
-        """x72 (H, W, n_upper+Cs+Cm) normalized bf16 → (H, W, n_upper+Cs).
+    def setup(self):
+        cfg = self.cfg
+        pz, ph, pw = cfg.patch
+        C = cfg.embed_dim
+        Cs = cfg.surface_channels + cfg.const_masks
+        self.embed_surface = ConvParams((ph, pw, Cs, C))
+        self.embed_upper = ConvParams((pz, ph, pw, cfg.level_vars, C))
+        self.recover_upper = ConvParams((pz, ph, pw, 2 * C, cfg.level_vars))
+        self.recover_surface = ConvParams(
+            (ph, pw, 2 * C, cfg.surface_channels)
+        )
 
-        Lane order matches the state contract: 65 upper-air channels
-        (var-major: channel = var·13 + level), 4 surface, then the
-        constant masks appended.
-        """
+    def grand_weights(self) -> dict:
+        """Expand the conv-shaped patch params into the grand embed /
+        recover GEMM weights.  Pure function of the params — built once
+        per parameter set into ``params["cache"]`` (the 14 strided
+        scatter-sets cost ~9 ms/step if rebuilt inside the step)."""
         import numpy as np
 
         cfg = self.cfg
         pz, ph, pw = cfg.patch
         C = cfg.embed_dim
-        Ht, Wt = cfg.hw_tokens
         Zt = cfg.z_tokens
         Zu = Zt - 1
         L, Vl = cfg.levels, cfg.level_vars
         n_up = L * Vl
         Cs = cfg.surface_channels + cfg.const_masks
         lanes = n_up + Cs
-        dt = x72.dtype
+        Cout = n_up + cfg.surface_channels
 
         # --- patch embedding as ONE grand GEMM over (ph·pw·lanes) ---
         # Each z-token's 10 input channels (2 levels × 5 vars) are a
@@ -251,8 +259,8 @@ class PanguNet(nn.Module):
         # the surface token) is a single (Ht·Wt, ph·pw·lanes) @
         # (ph·pw·lanes, Zt·C) matmul with a block-sparse weight built
         # from the conv-shaped params.
-        ks, bs = ConvParams((ph, pw, Cs, C), name="embed_surface")()
-        ku, bu = ConvParams((pz, ph, pw, Vl, C), name="embed_upper")()
+        ks, bs = self.embed_surface()
+        ku, bu = self.embed_upper()
         Wg = jnp.zeros((ph, pw, lanes, Zt, C), ku.dtype)
         for zt in range(Zu):
             for lz in range(pz):
@@ -264,11 +272,59 @@ class PanguNet(nn.Module):
         Wg = Wg.at[:, :, n_up:, Zu, :].set(ks)
         bias_g = jnp.concatenate([jnp.tile(bu[None], (Zu, 1)), bs[None]], axis=0)
 
+        # --- patch recovery as one grand GEMM (inverse of the embed) ---
+        kur, bur = self.recover_upper()
+        ksr, bsr = self.recover_surface()
+        # flax ConvTranspose(transpose_kernel=False) applies the kernel
+        # spatially FLIPPED: out[s·h + d] = x[h] · K[k-1-d] — flip here
+        # so converted reference checkpoints keep their conv layout.
+        kur_f = kur[::-1, ::-1, ::-1]
+        ksr_f = ksr[::-1, ::-1]
+        Wr = jnp.zeros((Zt, 2 * C, ph, pw, Cout), kur.dtype)
+        for zt in range(Zu):
+            for lz in range(pz):
+                level = pz * zt + lz
+                if level >= L:
+                    continue
+                lane_idx = np.arange(Vl) * L + level
+                Wr = Wr.at[zt, :, :, :, lane_idx].set(kur_f[lz].transpose(3, 2, 0, 1))
+        Wr = Wr.at[Zu, :, :, :, n_up:].set(ksr_f.transpose(2, 0, 1, 3))
+        bias_out = jnp.concatenate([jnp.repeat(bur, L), bsr])  # (Cout,)
+        dt = jnp.bfloat16  # compute dtype for the GEMMs
+        return {
+            "Wg": Wg.reshape(ph * pw * lanes, Zt * C).astype(dt),
+            "bias_g": bias_g.astype(dt),
+            "Wr": Wr.reshape(Zt * 2 * C, ph * pw * Cout).astype(dt),
+            "bias_out": bias_out.astype(dt),
+        }
+
+    @nn.compact
+    def __call__(self, x72, gw: dict | None = None):
+        """x72 (H, W, n_upper+Cs+Cm) normalized bf16 → (H, W, n_upper+Cs).
+
+        Lane order matches the state contract: 65 upper-air channels
+        (var-major: channel = var·13 + level), 4 surface, then the
+        constant masks appended.  ``gw`` carries the precomputed grand
+        GEMM weights (grand_weights); rebuilt inline when absent.
+        """
+        cfg = self.cfg
+        pz, ph, pw = cfg.patch
+        C = cfg.embed_dim
+        Ht, Wt = cfg.hw_tokens
+        Zt = cfg.z_tokens
+        L, Vl = cfg.levels, cfg.level_vars
+        n_up = L * Vl
+        Cs = cfg.surface_channels + cfg.const_masks
+        lanes = n_up + Cs
+        dt = x72.dtype
+        if gw is None:
+            gw = self.grand_weights()
+
         xp = jnp.pad(x72, ((0, (-cfg.lat) % ph), (0, 0), (0, 0)))
         p = xp.reshape(Ht, ph, Wt, pw, lanes).transpose(0, 2, 1, 3, 4)
         p = p.reshape(Ht * Wt, ph * pw * lanes)
-        tok = p @ Wg.reshape(ph * pw * lanes, Zt * C).astype(dt)
-        tok = tok.reshape(Ht, Wt, Zt, C) + bias_g.astype(dt)
+        tok = p @ gw["Wg"].astype(dt)
+        tok = tok.reshape(Ht, Wt, Zt, C) + gw["bias_g"].astype(dt)
         x = tok.transpose(2, 0, 1, 3)  # (Zt, Ht, Wt, C)
 
         def stage(x, depth, dim, heads, valid):
@@ -293,29 +349,9 @@ class PanguNet(nn.Module):
 
         # --- patch recovery as one grand GEMM (inverse of the embed) ---
         Cout = n_up + cfg.surface_channels
-        kur, bur = ConvParams((pz, ph, pw, 2 * C, Vl), name="recover_upper")()
-        ksr, bsr = ConvParams(
-            (ph, pw, 2 * C, cfg.surface_channels), name="recover_surface"
-        )()
-        # flax ConvTranspose(transpose_kernel=False) applies the kernel
-        # spatially FLIPPED: out[s·h + d] = x[h] · K[k-1-d] — flip here
-        # so converted reference checkpoints keep their conv layout.
-        kur_f = kur[::-1, ::-1, ::-1]
-        ksr_f = ksr[::-1, ::-1]
-        Wr = jnp.zeros((Zt, 2 * C, ph, pw, Cout), kur.dtype)
-        for zt in range(Zu):
-            for lz in range(pz):
-                level = pz * zt + lz
-                if level >= L:
-                    continue
-                lane_idx = np.arange(Vl) * L + level
-                Wr = Wr.at[zt, :, :, :, lane_idx].set(kur_f[lz].transpose(3, 2, 0, 1))
-        Wr = Wr.at[Zu, :, :, :, n_up:].set(ksr_f.transpose(2, 0, 1, 3))
-        bias_out = jnp.concatenate([jnp.repeat(bur, L), bsr])  # (Cout,)
-
         t = x.transpose(1, 2, 0, 3).reshape(Ht * Wt, Zt * 2 * C)
-        y = t @ Wr.reshape(Zt * 2 * C, ph * pw * Cout).astype(dt)
-        y = y.reshape(Ht, Wt, ph, pw, Cout) + bias_out.astype(dt)
+        y = t @ gw["Wr"].astype(dt)
+        y = y.reshape(Ht, Wt, ph, pw, Cout) + gw["bias_out"].astype(dt)
         y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * ph, Wt * pw, Cout)
         return y[: cfg.lat]  # (H, W, n_upper + surface)
 
@@ -357,19 +393,43 @@ class PanguModel(PrognosticModel):
         }
         if self.variant == "pangu":
             params["net24"] = init(ks[1], x72)["params"]
+        return self.prepare_params(params)
+
+    def prepare_params(self, params):
+        """Attach the precomputed grand embed/recover GEMM weights
+        (pure functions of the conv params; ~9 ms/step to rebuild
+        inline).  Stripped from checkpoints, rebuilt here on load."""
+        if "cache" in params:
+            return params
+        build = jax.jit(
+            lambda p: self.module.apply(
+                {"params": p}, method=PanguNet.grand_weights
+            )
+        )
+        params = dict(params)
+        cache = {"gw6": build(params["net6"])}
+        if "net24" in params:
+            cache["gw24"] = build(params["net24"])
+        params["cache"] = cache
         return params
 
-    def _forward(self, net_params, params, x):
+    def param_count(self, params):
+        return super().param_count(
+            {k: v for k, v in params.items() if k != "cache"}
+        )
+
+    def _forward(self, net_params, params, x, gw=None):
         """One network evaluation on a (C, H, W) state."""
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
         consts = params["consts"].astype(self.compute_dtype)
         x72 = jnp.concatenate([xn, consts], axis=0).transpose(1, 2, 0)
-        y = self.module.apply({"params": net_params}, x72)
+        y = self.module.apply({"params": net_params}, x72, gw)
         y = y.transpose(2, 0, 1).astype(jnp.float32)
         return denormalize(params["norm"], y)
 
     def apply(self, params, x):
-        return self._forward(params["net6"], params, x[-1])[None]
+        gw = params.get("cache", {}).get("gw6")
+        return self._forward(params["net6"], params, x[-1], gw)[None]
 
     def init_state(self, params, x0, rng=None, start_time=None):
         state = super().init_state(params, x0, rng, start_time=start_time)
@@ -382,12 +442,18 @@ class PanguModel(PrognosticModel):
         if self.variant != "pangu":
             return super().advance(params, state)
 
+        cache = params.get("cache", {})
+
         def step24(_):
-            y = self._forward(params["net24"], params, state.extra["anchor"])
+            y = self._forward(
+                params["net24"], params, state.extra["anchor"], cache.get("gw24")
+            )
             return y, y  # output, new anchor
 
         def step6(_):
-            y = self._forward(params["net6"], params, state.x[-1])
+            y = self._forward(
+                params["net6"], params, state.x[-1], cache.get("gw6")
+            )
             return y, state.extra["anchor"]
 
         # steps 1,2,3: 6h net; step 4 (completing 24h): 24h net from anchor

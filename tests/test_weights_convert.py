@@ -166,7 +166,7 @@ def test_pangu_converter():
         lat=49, lon=96, embed_dim=16, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2)
     )
     model = PanguModel("pangu6", cfg=cfg)
-    native = model.init_params(jax.random.key(0))
+    native = _strip_cache(model.init_params(jax.random.key(0)))
     rng = np.random.default_rng(0)
     C = cfg.embed_dim
     sd = {
