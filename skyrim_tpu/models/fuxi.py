@@ -63,6 +63,11 @@ class SwinBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (H, W, C) padded H
+        from skyrim_tpu.ops.flash_window_attention import (
+            fused_window_attention_4d,
+            use_pallas,
+        )
+
         H, Wd, C = x.shape
         wh, ww = self.window
         win3 = (1, wh, ww)
@@ -73,31 +78,45 @@ class SwinBlock2D(nn.Module):
         if self.shifted:
             h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
         mask = W.shift_attention_mask((1, H, Wd), win3, shift, (1, self.valid_h, Wd))
-        parts = W.window_partition(h[0:1].reshape(1, H, Wd, C), win3)
-        n_win, wlen, _ = parts.shape
+        mask = jnp.asarray(mask) if mask is not None else None
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
-        qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         bias_table = self.param(
             "rel_bias",
             nn.initializers.truncated_normal(0.02),
             (W.earth_bias_table_size(win3), self.heads),
         )
         bias = bias_table[W.earth_bias_index(win3)].transpose(2, 0, 1)
-        attn = jnp.einsum("whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32)
-        attn = attn * (head_dim**-0.5) + bias[None].astype(attn.dtype)
-        if mask is not None:
-            nz, nh = mask.shape[:2]
-            nw = n_win // (nz * nh)
-            attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
-            attn = attn + jnp.asarray(mask)[:, :, None, None].astype(attn.dtype)
-            attn = attn.reshape(n_win, self.heads, wlen, wlen)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+
+        if use_pallas() and not self.is_initializing():
+            # windowing fused into the kernel via BlockSpec tiling — the
+            # XLA path below materializes (nWin, heads, wlen, wlen)
+            # scores in HBM every block (same playbook as Pangu's
+            # EarthAttention3D)
+            qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(h)
+            out = fused_window_attention_4d(qkv, bias, mask, win3, self.heads)
+        else:
+            parts = W.window_partition(h, win3)
+            n_win, wlen, _ = parts.shape
+            qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+            qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            attn = jnp.einsum(
+                "whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32
+            )
+            attn = attn * (head_dim**-0.5) + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nz, nh = mask.shape[:2]
+                nw = n_win // (nz * nh)
+                attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
+                attn = attn + mask[:, :, None, None].astype(attn.dtype)
+                attn = attn.reshape(n_win, self.heads, wlen, wlen)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum(
+                "whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32
+            )
+            out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+            out = W.window_reverse(out, win3, (1, H, Wd))
         out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
-        out = W.window_reverse(out, win3, (1, H, Wd))
         if self.shifted:
             out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))
         x = x + out[0]

@@ -64,12 +64,7 @@ class PanguConfig:
         return (-(-self.lat // self.patch[1]), self.lon // self.patch[2])
 
 
-def _use_pallas() -> bool:
-    import os
-
-    if os.environ.get("SKYRIM_NO_PALLAS"):
-        return False
-    return jax.default_backend() != "cpu"
+from skyrim_tpu.ops.flash_window_attention import use_pallas as _use_pallas
 
 
 class EarthAttention3D(nn.Module):

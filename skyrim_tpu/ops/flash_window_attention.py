@@ -25,6 +25,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def use_pallas() -> bool:
+    """Fused kernels on accelerators; XLA parity path on CPU/debug."""
+    import os
+
+    if os.environ.get("SKYRIM_NO_PALLAS"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def _fused_kernel(qkv_ref, bias_ref, mask_ref, o_ref):
     """Packed-qkv window attention: (tw, wlen, 3C) → (tw, wlen, C).
 
