@@ -66,11 +66,24 @@ class AFNOMixer(nn.Module):
         nb = cfg.num_blocks
         bs = cfg.embed_dim // nb
 
-        X = jnp.fft.rfft2(x.astype(jnp.float32), axes=(0, 1))  # (Ht, Wf, D)
-        Wf = X.shape[1]
+        from skyrim_tpu.ops.dft import dft_tables, irfft2_matmul, rfft2_matmul
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
+
+        # matmul-DFT on accelerators (MXU; ~10× the XLA FFT, measured
+        # 2.94 → ~0.3 ms per forward+inverse pair at (90, 180, 768));
+        # jnp.fft stays the CPU/debug parity reference
+        mxu_dft = use_pallas()
         keep_h = int(Ht * cfg.hard_keep_fraction)
-        Xr = X.real.reshape(Ht, Wf, nb, bs)
-        Xi = X.imag.reshape(Ht, Wf, nb, bs)
+        if mxu_dft:
+            tables = dft_tables(Ht, Wt)
+            Xr, Xi = rfft2_matmul(x, tables)
+            Wf = Xr.shape[1]
+        else:
+            X = jnp.fft.rfft2(x.astype(jnp.float32), axes=(0, 1))  # (Ht, Wf, D)
+            Wf = X.shape[1]
+            Xr, Xi = X.real, X.imag
+        Xr = Xr.reshape(Ht, Wf, nb, bs)
+        Xi = Xi.reshape(Ht, Wf, nb, bs)
 
         def cparam(name, shape):
             return (
@@ -98,14 +111,18 @@ class AFNOMixer(nn.Module):
         Yr = soft_shrink(Yr, cfg.sparsity)
         Yi = soft_shrink(Yi, cfg.sparsity)
 
-        Y = jax.lax.complex(Yr.reshape(Ht, Wf, -1), Yi.reshape(Ht, Wf, -1))
+        Yr = Yr.reshape(Ht, Wf, -1)
+        Yi = Yi.reshape(Ht, Wf, -1)
         if keep_h < Ht:
             # zero out high-frequency lat modes (hard thresholding)
             mask = np.zeros((Ht, 1, 1), np.float32)
             mask[: keep_h // 2] = 1
             mask[-(keep_h // 2) :] = 1
-            Y = Y * mask
-        y = jnp.fft.irfft2(Y, s=(Ht, Wt), axes=(0, 1))
+            Yr = Yr * mask
+            Yi = Yi * mask
+        if mxu_dft:
+            return irfft2_matmul(Yr, Yi, tables, dtype=x.dtype)
+        y = jnp.fft.irfft2(jax.lax.complex(Yr, Yi), s=(Ht, Wt), axes=(0, 1))
         return y.astype(x.dtype)
 
 
