@@ -63,20 +63,13 @@ class SwinBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (H, W, C) padded H
-        from skyrim_tpu.ops.flash_window_attention import (
-            fused_window_attention_4d,
-            use_pallas,
-        )
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
 
         H, Wd, C = x.shape
         wh, ww = self.window
         win3 = (1, wh, ww)
         shift = (0, wh // 2 if self.shifted else 0, ww // 2 if self.shifted else 0)
 
-        h = nn.LayerNorm(dtype=x.dtype)(x)
-        h = h[None]  # (1, H, W, C) reuse 3D helpers with Z=1
-        if self.shifted:
-            h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
         mask = W.shift_attention_mask((1, H, Wd), win3, shift, (1, self.valid_h, Wd))
         mask = jnp.asarray(mask) if mask is not None else None
         head_dim = self.dim // self.heads
@@ -87,35 +80,61 @@ class SwinBlock2D(nn.Module):
         )
         bias = bias_table[W.earth_bias_index(win3)].transpose(2, 0, 1)
 
-        if use_pallas() and not self.is_initializing():
-            # windowing fused into the kernel via BlockSpec tiling — the
-            # XLA path below materializes (nWin, heads, wlen, wlen)
-            # scores in HBM every block (same playbook as Pangu's
-            # EarthAttention3D)
-            qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(h)
-            out = fused_window_attention_4d(qkv, bias, mask, win3, self.heads)
-        else:
-            parts = W.window_partition(h, win3)
-            n_win, wlen, _ = parts.shape
-            qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
-            qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-            attn = jnp.einsum(
-                "whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32
+        if use_pallas():
+            # whole block in ONE Pallas kernel — same fused path as
+            # Pangu's PanguBlock (ops/fused_block.py): the activation
+            # makes 2 HBM passes instead of ~30, the block commutes
+            # with the shift roll, and the param holders share the XLA
+            # path's checkpoint tree (path-seeded RNG → identical init).
+            from skyrim_tpu.ops.fused_block import (
+                DenseParams,
+                LNParams,
+                fused_swin_block_4d,
             )
-            attn = attn * (head_dim**-0.5) + bias[None].astype(attn.dtype)
-            if mask is not None:
-                nz, nh = mask.shape[:2]
-                nw = n_win // (nz * nh)
-                attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
-                attn = attn + mask[:, :, None, None].astype(attn.dtype)
-                attn = attn.reshape(n_win, self.heads, wlen, wlen)
-            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-            out = jnp.einsum(
-                "whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32
+
+            C = self.dim
+            ln1 = LNParams(name="LayerNorm_0")(C)
+            qw, qb = DenseParams(3 * C, name="qkv")(C)
+            pw, pb = DenseParams(C, name="proj")(C)
+            ln2 = LNParams(name="LayerNorm_1")(C)
+            w1, b1 = DenseParams(C * 4, name="Dense_0")(C)
+            w2, b2 = DenseParams(C, name="Dense_1")(C * 4)
+            h = x[None]
+            if self.shifted:
+                h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
+            h = fused_swin_block_4d(
+                h, ln1, (qw, qb), bias, mask, (pw, pb), ln2,
+                (w1, b1, w2, b2), win3, self.heads,
             )
-            out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
-            out = W.window_reverse(out, win3, (1, H, Wd))
+            if self.shifted:
+                h = jnp.roll(h, (shift[1], shift[2]), axis=(1, 2))
+            return h[0]
+
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        h = h[None]  # (1, H, W, C) reuse 3D helpers with Z=1
+        if self.shifted:
+            h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
+        parts = W.window_partition(h, win3)
+        n_win, wlen, _ = parts.shape
+        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+        qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jnp.einsum(
+            "whqd,whkd->whqk", q, k, preferred_element_type=jnp.float32
+        )
+        attn = attn * (head_dim**-0.5) + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nz, nh = mask.shape[:2]
+            nw = n_win // (nz * nh)
+            attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
+            attn = attn + mask[:, :, None, None].astype(attn.dtype)
+            attn = attn.reshape(n_win, self.heads, wlen, wlen)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32
+        )
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+        out = W.window_reverse(out, win3, (1, H, Wd))
         out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
         if self.shifted:
             out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))

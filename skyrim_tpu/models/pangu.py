@@ -82,14 +82,12 @@ class EarthAttention3D(nn.Module):
     n_type_windows: int = 1  # (z-windows × lat-windows): each has its own bias
 
     @nn.compact
-    def __call__(self, x, mask):  # x: (Z, H, W, C) padded to window multiples
+    def __call__(self, x, mask, params_only: bool = False):
+        # x: (Z, H, W, C) padded to window multiples
         from skyrim_tpu.ops.flash_window_attention import (
             fused_window_attention_4d,
             reference_window_attention_qkv,
         )
-
-        Z, H, Wd, C = x.shape
-        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(x)
 
         # Earth-specific bias: translation symmetry is broken along the
         # pressure-level and latitude axes, so every (z, lat) window
@@ -105,6 +103,20 @@ class EarthAttention3D(nn.Module):
             (self.n_type_windows, self.heads, W.earth_bias_table_size(self.window)),
         )
         bias = bias_table[:, :, W.earth_bias_index(self.window)]  # (nt, h, wlen, wlen)
+
+        if params_only:
+            # fused-block path (PanguBlock): hand the qkv/proj weights to
+            # the whole-block kernel instead of computing here.  The
+            # holders fetch the same param tree nn.Dense creates (init
+            # always runs the XLA path below).
+            from skyrim_tpu.ops.fused_block import DenseParams
+
+            qw, qb = DenseParams(3 * self.dim, name="qkv")(self.dim)
+            pw, pb = DenseParams(self.dim, name="proj")(self.dim)
+            return qw, qb, pw, pb, bias
+
+        Z, H, Wd, C = x.shape
+        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(x)
 
         if _use_pallas():
             # windowing happens inside the kernel via BlockSpec tiling —
@@ -134,19 +146,47 @@ class PanguBlock(nn.Module):
         Z, H, Wd, C = x.shape
         win = self.window
         shift = tuple(w // 2 for w in win) if self.shifted else (0, 0, 0)
-
-        h = nn.LayerNorm(dtype=x.dtype)(x)
-        if self.shifted:
-            h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
         mask = W.shift_attention_mask((Z, H, Wd), win, shift, self.valid)
         mask = jnp.asarray(mask) if mask is not None else None
-        h = EarthAttention3D(
+        attn = EarthAttention3D(
             self.dim,
             self.heads,
             self.window,
             n_lon_windows=Wd // win[2],
             n_type_windows=(Z // win[0]) * (H // win[1]),
-        )(h, mask)
+        )
+
+        if _use_pallas():
+            # whole block in ONE Pallas kernel (2 HBM passes instead of
+            # ~30): LN/MLP/residual are per-token and attention sees the
+            # same windows, so the block commutes with the shift roll —
+            # roll in, run unshifted with the shift mask, roll back.
+            # Runs during init too: the param holders declare the same
+            # tree (path-seeded RNG → bit-identical values) as the XLA
+            # path below, so checkpoints are interchangeable.
+            from skyrim_tpu.ops.fused_block import (
+                DenseParams,
+                LNParams,
+                fused_swin_block_4d,
+            )
+
+            ln1 = LNParams(name="LayerNorm_0")(C)
+            qw, qb, pw, pb, bias = attn(None, None, params_only=True)
+            ln2 = LNParams(name="LayerNorm_1")(C)
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1 = DenseParams(hidden, name="Dense_0")(C)
+            w2, b2 = DenseParams(self.dim, name="Dense_1")(hidden)
+            h = jnp.roll(x, tuple(-s for s in shift), (0, 1, 2)) if self.shifted else x
+            h = fused_swin_block_4d(
+                h, ln1, (qw, qb), bias, mask, (pw, pb), ln2,
+                (w1, b1, w2, b2), win, self.heads,
+            )
+            return jnp.roll(h, shift, (0, 1, 2)) if self.shifted else h
+
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        if self.shifted:
+            h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+        h = attn(h, mask)
         if self.shifted:
             h = jnp.roll(h, shift, axis=(0, 1, 2))
         x = x + h

@@ -202,6 +202,7 @@ def fused_window_attention_4d(
     (no HBM partition/reverse), splits heads via lane slices, and writes
     the attention output back in (Z, H, W, C) layout.
     """
+    interpret = interpret or jax.default_backend() == "cpu"
     Z, H, Wd, c3 = qkv.shape
     C = c3 // 3
     wz, wh, ww = window
