@@ -99,7 +99,10 @@ class Trainer:
             return jnp.mean(jax.vmap(rollout_loss)(xs, ys))
 
         def train_step(params, opt_state, xs, ys):
-            loss, grads = jax.value_and_grad(loss_fn)(params, xs, ys)
+            from skyrim_tpu.parallel.sharding import _maybe_xla_fallback
+
+            with _maybe_xla_fallback(mesh):
+                loss, grads = jax.value_and_grad(loss_fn)(params, xs, ys)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss

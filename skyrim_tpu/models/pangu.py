@@ -210,6 +210,17 @@ class DownSample(nn.Module):
         if pad_h:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
             H += 1
+
+        if _use_pallas():
+            # merge + LayerNorm + GEMM in one HBM pass — the XLA chain
+            # below relayouts the full activation ~5× (ops/resample.py)
+            from skyrim_tpu.ops.fused_block import DenseParams, LNParams
+            from skyrim_tpu.ops.resample import fused_downsample
+
+            ln = LNParams(name="LayerNorm_0")(4 * C)
+            wb = DenseParams(self.dim_out, name="Dense_0")(4 * C)
+            return fused_downsample(x, ln, wb)
+
         x = x.reshape(Z, H // 2, 2, Wd // 2, 2, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(Z, H // 2, Wd // 2, 4 * C)
         x = nn.LayerNorm(dtype=x.dtype)(x)
@@ -225,6 +236,15 @@ class UpSample(nn.Module):
     @nn.compact
     def __call__(self, x):
         Z, H, Wd, C = x.shape
+
+        if _use_pallas():
+            from skyrim_tpu.ops.fused_block import DenseParams, LNParams
+            from skyrim_tpu.ops.resample import fused_upsample
+
+            wb = DenseParams(4 * self.dim_out, name="Dense_0")(C)
+            ln = LNParams(name="LayerNorm_0")(self.dim_out)
+            return fused_upsample(x, wb, ln)[:, : self.out_h]
+
         x = nn.Dense(4 * self.dim_out, dtype=x.dtype)(x)
         x = x.reshape(Z, H, Wd, 2, 2, self.dim_out)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(Z, 2 * H, 2 * Wd, self.dim_out)

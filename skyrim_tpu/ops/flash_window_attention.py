@@ -25,10 +25,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_XLA_FALLBACK = 0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def xla_fallback():
+    """Force the pure-XLA model paths while tracing.
+
+    XLA GSPMD cannot auto-partition Pallas custom-calls, so the sharded
+    entry points (parallel/sharding.py, the dp-sharded trainer) trace
+    their step functions inside this context — the XLA composition
+    partitions cleanly and GSPMD inserts the halo/all-to-all collectives.
+    Single-device paths keep the fused kernels.  (Explicit shard_map
+    wrapping of the kernels with parallel/halo.py exchange is the
+    future fast path.)
+    """
+    global _XLA_FALLBACK
+    _XLA_FALLBACK += 1
+    try:
+        yield
+    finally:
+        _XLA_FALLBACK -= 1
+
+
 def use_pallas() -> bool:
     """Fused kernels on accelerators; XLA parity path on CPU/debug."""
     import os
 
+    if _XLA_FALLBACK:
+        return False
     if os.environ.get("SKYRIM_NO_PALLAS"):
         return False
     return jax.default_backend() != "cpu"

@@ -21,6 +21,18 @@ from skyrim_tpu.models.base import ModelState, PrognosticModel
 from skyrim_tpu.parallel.mesh import AXES
 
 
+def _maybe_xla_fallback(mesh: Mesh):
+    """GSPMD cannot auto-partition Pallas custom-calls: on a >1-device
+    mesh, trace the model through its pure-XLA composition (which GSPMD
+    partitions, inserting halo/all-to-all collectives).  Single-device
+    meshes keep the fused kernels."""
+    import contextlib
+
+    from skyrim_tpu.ops.flash_window_attention import xla_fallback
+
+    return xla_fallback() if mesh.size > 1 else contextlib.nullcontext()
+
+
 def state_spec(n_spatial_dims: int = 4) -> P:
     """(..., C, H, W) → shard H over 'lat', W over 'lon'.
 
@@ -70,7 +82,8 @@ def sharded_advance(model: PrognosticModel, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     def advance(params, state):
-        new_state, y = model.advance(params, state)
+        with _maybe_xla_fallback(mesh):
+            new_state, y = model.advance(params, state)
         y = jax.lax.with_sharding_constraint(
             y, NamedSharding(mesh, compatible_spec(y.shape, mesh, state_spec(y.ndim)))
         )
@@ -86,7 +99,8 @@ def sharded_scan_rollout(model: PrognosticModel, mesh: Mesh, n_steps: int):
     @partial(jax.jit, donate_argnums=(1,))
     def run(params, state):
         def body(carry, _):
-            s, y = model.advance(params, carry)
+            with _maybe_xla_fallback(mesh):
+                s, y = model.advance(params, carry)
             y = jax.lax.with_sharding_constraint(
                 y,
                 NamedSharding(mesh, compatible_spec(y.shape, mesh, state_spec(y.ndim))),
@@ -125,6 +139,7 @@ def dp_ensemble_rollout(model: PrognosticModel, mesh: Mesh, n_steps: int):
             return ys.reshape(-1, *ys.shape[2:])
 
         x0_batch = jax.lax.with_sharding_constraint(x0_batch, batch_sharding)
-        return jax.vmap(one)(x0_batch)
+        with _maybe_xla_fallback(mesh):
+            return jax.vmap(one)(x0_batch)
 
     return run

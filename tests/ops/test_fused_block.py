@@ -119,6 +119,75 @@ def test_fused_block_grad(shifted, monkeypatch):
         )
 
 
+def test_pangu_net_fused_matches_xla(monkeypatch):
+    """Whole-net parity: blocks + DownSample/UpSample + grand GEMMs all
+    through the fused kernels vs the pure-XLA path."""
+    from skyrim_tpu.models.pangu import PanguConfig, PanguModel
+
+    cfg = PanguConfig(
+        lat=49, lon=96, embed_dim=16, depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 2, 2),
+    )
+
+    def run(use_fused):
+        import skyrim_tpu.models.pangu as pangu_mod
+
+        monkeypatch.setattr(pangu_mod, "_use_pallas", lambda: use_fused)
+        model = PanguModel("pangu6", cfg=cfg)
+        params = model.init_params(jax.random.key(0))
+        x = np.random.default_rng(0).normal(size=(1, 69, 49, 96)).astype(
+            np.float32
+        )
+        return params, np.asarray(model.apply(params, x))
+
+    p_ref, ref = run(False)
+    p_fused, out = run(True)
+    for (k, v), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_fused),
+    ):
+        assert jax.tree_util.keystr(k) == jax.tree_util.keystr(k2)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    assert np.isfinite(out).all()
+    # bf16 compute inside: outputs are denormalized physical values, so
+    # compare in relative terms
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.02)
+
+
+def test_fused_resample_parity():
+    from skyrim_tpu.ops.resample import (
+        fused_downsample,
+        fused_upsample,
+        reference_downsample,
+        reference_upsample,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 14, 24, 16)), jnp.float32)
+    ln = (jnp.asarray(rng.normal(size=(64,)), jnp.float32),
+          jnp.asarray(rng.normal(size=(64,)), jnp.float32))
+    wb = (jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32),
+          jnp.asarray(rng.normal(size=(32,)), jnp.float32))
+    out = fused_downsample(x, ln, wb, interpret=True)
+    ref = reference_downsample(x, ln, wb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    xu = jnp.asarray(rng.normal(size=(3, 7, 12, 32)), jnp.float32)
+    wbu = (jnp.asarray(rng.normal(size=(32, 64)) * 0.1, jnp.float32),
+           jnp.asarray(rng.normal(size=(64,)), jnp.float32))
+    lnu = (jnp.asarray(rng.normal(size=(16,)), jnp.float32),
+           jnp.asarray(rng.normal(size=(16,)), jnp.float32))
+    out = fused_upsample(xu, wbu, lnu, interpret=True)
+    ref = reference_upsample(xu, wbu, lnu)
+    assert out.shape == (3, 14, 24, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # grads flow through the custom VJPs
+    g = jax.grad(lambda x: jnp.sum(fused_downsample(x, ln, wb, True) ** 2))(x)
+    gr = jax.grad(lambda x: jnp.sum(reference_downsample(x, ln, wb) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
 def test_fused_block_bf16(monkeypatch):
     """bf16 path stays finite and close to the XLA bf16 path."""
     _, ref = _run_block(True, monkeypatch, use_fused=False, dtype=jnp.bfloat16)
