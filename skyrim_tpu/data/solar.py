@@ -102,15 +102,23 @@ def toa_incident_solar_radiation_jax(
         + 0.000719 * jnp.cos(2 * g) + 0.000077 * jnp.sin(2 * g)
     )
     n_sub = max(int(integration_hours * 4), 1)
-    total = jnp.zeros((lat.shape[0], lon.shape[1]))
-    for i in range(n_sub):
+
+    # fori_loop, not a Python loop: unrolled, XLA kept ~2 GB of
+    # (nlat, nlon) sub-interval buffers alive inside the rollout scan
+    def sub(i, total):
         ts = days - (integration_hours * (i + 0.5) / n_sub) / 24.0
         frac_day = jnp.mod(ts, 1.0)
         hour_angle = 2 * jnp.pi * frac_day - jnp.pi + lon
-        cosz = jnp.sin(lat) * jnp.sin(decl) + jnp.cos(lat) * jnp.cos(decl) * jnp.cos(
-            hour_angle
-        )
-        total = total + jnp.maximum(cosz, 0.0)
+        cosz = jnp.sin(lat) * jnp.sin(decl) + jnp.cos(lat) * jnp.cos(
+            decl
+        ) * jnp.cos(hour_angle)
+        return total + jnp.maximum(cosz, 0.0)
+
+    import jax
+
+    total = jax.lax.fori_loop(
+        0, n_sub, sub, jnp.zeros((lat.shape[0], lon.shape[1]))
+    )
     mean_cosz = total / n_sub
     return (SOLAR_CONSTANT * e0 * mean_cosz * integration_hours * 3600).astype(
         jnp.float32

@@ -68,12 +68,37 @@ class MLP(nn.Module):
     final_norm: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None, residual=None):
+        """x2 feeds the tail of the first layer (≡ concat([x, x2]));
+        residual is added to the output — both exist so the fused
+        kernel can absorb them (Pallas calls are XLA fusion barriers:
+        a concat/add left outside costs a full HBM pass)."""
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
+
+        in_feat = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+        if use_pallas() and x.ndim == 2 and not self.is_initializing():
+            # one HBM pass over the rows (ops/fused_mlp.py); param
+            # holders fetch the exact nn.Dense/LayerNorm tree
+            from skyrim_tpu.ops.fused_block import DenseParams, LNParams
+            from skyrim_tpu.ops.fused_mlp import fused_mlp
+
+            w1 = DenseParams(self.hidden, name="Dense_0")(in_feat)
+            w2 = DenseParams(self.out, name="Dense_1")(self.hidden)
+            ln = (
+                LNParams(name="LayerNorm_0")(self.out)
+                if self.final_norm else None
+            )
+            return fused_mlp(x, w1, w2, ln, x2=x2, residual=residual)
+
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         h = nn.Dense(self.hidden, dtype=x.dtype)(x)
         h = nn.swish(h)
         h = nn.Dense(self.out, dtype=x.dtype)(h)
         if self.final_norm:
             h = nn.LayerNorm(dtype=x.dtype)(h)
+        if residual is not None:
+            h = residual + h
         return h
 
 
@@ -128,6 +153,18 @@ class FactoredEdgeMLP(nn.Module):
         h = h_pre + self.Dense_0.bias.astype(h_pre.dtype)
         h = nn.swish(h).astype(self.dtype)
         return self.LayerNorm_0(self.Dense_1(h))
+
+    def finish_params(self):
+        """(b₀, (Dense₁ kernel, bias), (LN scale, bias)) for the fused
+        message kernels (ops/graph_kernels.py) — bound-param access,
+        valid outside init."""
+        p1 = self.Dense_1.variables["params"]
+        pln = self.LayerNorm_0.variables["params"]
+        return (
+            self.Dense_0.bias,
+            (p1["kernel"], p1["bias"]),
+            (pln["scale"], pln["bias"]),
+        )
 
 
 class BipartitePass(nn.Module):
@@ -193,11 +230,22 @@ class BipartitePass(nn.Module):
             return out.reshape(B, M, -1)
 
         ef_c = jnp.asarray(self.tables["efeat_c"], self.dtype)
-        return jax.lax.map(
+        out = jax.lax.map(
             lambda e: self.message.edge_part(self.edge_embed(e)), ef_c
         )
+        if self.degree is not None:
+            # fixed-degree consumers run SLOT-MAJOR on (dst, deg·L) lane
+            # slices — store the cache wide so the per-step program never
+            # re-lays the multi-GB bias (a (nc, ch, L)→(nc, dst, deg·L)
+            # reshape in-step duplicated the 3.2 GB m2g cache and OOM'd
+            # the chip)
+            nc, chk, L = out.shape
+            out = out.reshape(nc, chk // self.degree, self.degree * L)
+        return out
 
     def __call__(self, src_feat, dst_feat, bias_chunks=None):
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
+
         L = self.latent
         if self.is_initializing():
             # create all params without touching the big edge tables
@@ -209,14 +257,13 @@ class BipartitePass(nn.Module):
                 + self.message.dst_part(z)
             )
             agg = jnp.zeros((self.n_dst, L), src_feat.dtype)
-            return dst_feat + self.MLP_0(
-                jnp.concatenate([dst_feat, agg], axis=-1)
-            )
+            return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
 
         if bias_chunks is None:  # opt-out / external-params path
             bias_chunks = self.edge_bias_chunks(
                 dst_feat if self.static_dst else None
             )
+        fused = use_pallas()
         a_src = self.message.src_part(src_feat)
 
         if self.degree is not None:
@@ -232,31 +279,68 @@ class BipartitePass(nn.Module):
             a_dst_c = a_dst.reshape(nc, dst_chunk, L)
 
             face_c = self.tables.get("face_c")
+            if face_c is not None and fused:
+                # scan-free: the fused kernel tiles the rows itself, so
+                # the chunk loop is a plain Python loop over cache views
+                # (no scan operand un-stacking, no (N, deg, L) layouts)
+                deg = self.degree
+                a_src_faces = a_src[jnp.asarray(self.tables["faces"])]
+                a_src_faces = a_src_faces.reshape(-1, deg * L)
+                from skyrim_tpu.ops.graph_kernels import (
+                    fused_fixed_degree_messages,
+                )
+
+                b0, wb, lnp = self.message.finish_params()
+                f_c = jnp.asarray(face_c)
+                aggs = [
+                    fused_fixed_degree_messages(
+                        a_src_faces[f_c[c]], bias_chunks[c], a_dst_c[c],
+                        b0, wb, lnp, deg,
+                    )
+                    for c in range(bias_chunks.shape[0])
+                ]
+                agg = jnp.concatenate(aggs, axis=0)[: self.n_dst]
+                return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
             if face_c is not None:
                 # face-structured src: stage per-face vertex latents
-                # (n_faces, degree, L) once, then ONE wide-row gather per
-                # dst — gathers are per-row latency-bound, so 1 row of
-                # degree·L beats degree rows of L
+                # (n_faces, degree·L) WIDE once, then ONE wide-row gather
+                # per dst — gathers are per-row latency-bound, so 1 row
+                # of degree·L beats degree rows of L.  All per-edge math
+                # runs SLOT-MAJOR on flat (dst_chunk, L) lane slices: an
+                # (N, degree, L) middle dim would tile as T(4,128) and
+                # cost ~50 ms/step in relayouts + half-rate VPU passes
+                # (measured with utils/op_stats).
+                deg = self.degree
                 a_src_faces = a_src[jnp.asarray(self.tables["faces"])]
+                a_src_faces = a_src_faces.reshape(-1, deg * L)
 
                 def body(_, xs):
-                    b, f_c, ad_c = xs
-                    h = a_src_faces[f_c] + b.reshape(dst_chunk, self.degree, L)
-                    msg = self.message.finish(h + ad_c[:, None, :])
-                    return None, msg.sum(axis=1)
+                    b, f_c, ad_c = xs  # b WIDE: (dst_chunk, deg·L)
+                    wide = a_src_faces[f_c]  # (dst_chunk, deg·L)
+                    agg = None
+                    for k in range(deg):
+                        h = wide[:, k * L : (k + 1) * L]
+                        h = h + b[:, k * L : (k + 1) * L] + ad_c
+                        m = self.message.finish(h)
+                        agg = m if agg is None else agg + m
+                    return None, agg
 
                 _, ys = jax.lax.scan(
                     body, None,
                     (bias_chunks, jnp.asarray(face_c), a_dst_c),
                 )
             else:
+                deg = self.degree
 
                 def body(_, xs):
-                    b, si_c, ad_c = xs
-                    h = a_src[si_c] + b
-                    h = h.reshape(dst_chunk, self.degree, L) + ad_c[:, None, :]
-                    msg = self.message.finish(h)
-                    return None, msg.sum(axis=1)
+                    b, si_c, ad_c = xs  # b WIDE: (dst_chunk, deg·L)
+                    si = si_c.reshape(dst_chunk, deg)
+                    agg = None
+                    for k in range(deg):
+                        h = a_src[si[:, k]] + b[:, k * L : (k + 1) * L] + ad_c
+                        m = self.message.finish(h)
+                        agg = m if agg is None else agg + m
+                    return None, agg
 
                 _, ys = jax.lax.scan(body, None, (bias_chunks, src_c, a_dst_c))
             agg = ys.reshape(n_rows, L)[: self.n_dst]
@@ -269,27 +353,47 @@ class BipartitePass(nn.Module):
             grp = B // G
             SB = plan["SB"]
             local = jnp.asarray(plan["local"])
-            iota = jnp.arange(SB, dtype=local.dtype)
             src_b = jnp.asarray(plan["src_blocks"])
 
-            def body(_, xs):
-                b_g, s_g, l_g = xs  # (grp, M, L), (grp, M), (grp, M)
-                msg = self.message.finish(a_src[s_g] + b_g)
-                oh = (l_g[:, None, :] == iota[None, :, None]).astype(msg.dtype)
-                return None, jnp.einsum("bsm,bmd->bsd", oh, msg)
+            if fused:
+                # scan-free: message MLP + one-hot aggregation per block
+                # inside one kernel; group loop is a plain Python loop
+                # bounding the (grp, M, L) gather transients
+                from skyrim_tpu.ops.graph_kernels import fused_block_messages
 
-            _, ys = jax.lax.scan(
-                body,
-                None,
-                (
-                    bias_chunks.reshape(G, grp, M, L),
-                    src_b.reshape(G, grp, M),
-                    local.reshape(G, grp, M),
-                ),
-            )
+                b0, wb, lnp = self.message.finish_params()
+                outs = [
+                    fused_block_messages(
+                        a_src[src_b[g * grp : (g + 1) * grp]],
+                        bias_chunks[g * grp : (g + 1) * grp],
+                        local[g * grp : (g + 1) * grp],
+                        b0, wb, lnp, SB,
+                    )
+                    for g in range(G)
+                ]
+                ys = jnp.concatenate(outs, axis=0)
+            else:
+                iota = jnp.arange(SB, dtype=local.dtype)
+
+                def body(_, xs):
+                    b_g, s_g, l_g = xs  # (grp, M, L), (grp, M), (grp, M)
+                    msg = self.message.finish(a_src[s_g] + b_g)
+                    oh = (l_g[:, None, :] == iota[None, :, None]).astype(
+                        msg.dtype
+                    )
+                    return None, jnp.einsum("bsm,bmd->bsd", oh, msg)
+
+                _, ys = jax.lax.scan(
+                    body,
+                    None,
+                    (
+                        bias_chunks.reshape(G, grp, M, L),
+                        src_b.reshape(G, grp, M),
+                        local.reshape(G, grp, M),
+                    ),
+                )
             agg = ys.reshape(B * SB, L)[jnp.asarray(plan["unpack"])]
-        dst_new = dst_feat + self.MLP_0(jnp.concatenate([dst_feat, agg], axis=-1))
-        return dst_new
+        return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
 
 
 class ProcessorRound(nn.Module):
@@ -322,7 +426,7 @@ class ProcessorRound(nn.Module):
         h = self.MLP_0.edge_part(edges) + a_src[src_b] + a_dst
         new_edges = edges + self.MLP_0.finish(h)
         agg = block_segment_sum(new_edges, self.plan, onehot)
-        new_nodes = nodes + self.MLP_1(jnp.concatenate([nodes, agg], axis=-1))
+        new_nodes = self.MLP_1(nodes, x2=agg, residual=nodes)
         return new_nodes, new_edges
 
 
@@ -417,7 +521,7 @@ class GraphCastNet(nn.Module):
 
         # --- encoder: grid → mesh ---
         mesh_lat = self.g2m(grid_lat, mesh_lat, cache.get("g2m_bias"))
-        grid_lat = grid_lat + self.grid_update(grid_lat)
+        grid_lat = self.grid_update(grid_lat, residual=grid_lat)
 
         # --- processor: multimesh rounds (padded block layout) ---
         from skyrim_tpu.ops.graph import block_onehot

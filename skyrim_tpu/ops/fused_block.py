@@ -122,13 +122,15 @@ def _fused_block_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
         s = s + bias_ref[0, hh][None].astype(jnp.float32) + mask[None]
-        s = jax.nn.softmax(s, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                s.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+        # softmax with the normalization folded into the AV output:
+        # dividing (…, wlen, hd) costs wlen/hd≈4.5× fewer VPU elements
+        # than dividing the score matrix (the kernel is VPU-bound)
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        av = jax.lax.dot_general(
+            e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        outs.append(av / jnp.sum(e, axis=-1, keepdims=True))
     o = jnp.concatenate(outs, axis=-1).astype(dt).reshape(tw * wlen, C)
     o = jax.lax.dot_general(
         o, pw_ref[...], (((1,), (0,)), ((), ())),

@@ -154,6 +154,50 @@ def test_pangu_net_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.02)
 
 
+def test_pangu_fused_path_differentiable(monkeypatch):
+    """The whole fused Pangu forward (block + resample kernels) must be
+    differentiable — the finetune trainer takes grads on TPU where the
+    fused path is live.  Grads must match the XLA path."""
+    from skyrim_tpu.models.pangu import PanguConfig, PanguModel
+
+    cfg = PanguConfig(
+        lat=25, lon=48, embed_dim=16, depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 2, 2),
+    )
+    x = np.random.default_rng(0).normal(size=(1, 69, 25, 48)).astype(
+        np.float32
+    )
+
+    def grads(use_fused):
+        import skyrim_tpu.models.pangu as pangu_mod
+
+        monkeypatch.setattr(pangu_mod, "_use_pallas", lambda: use_fused)
+        model = PanguModel("pangu6", cfg=cfg)
+        params = model.init_params(jax.random.key(0))
+        params = {k: v for k, v in params.items() if k != "cache"}
+
+        def loss(p):
+            return jnp.mean(model.apply(p, x) ** 2)
+
+        return jax.grad(loss)(params)
+
+    g_ref = grads(False)
+    g_fused = grads(True)
+    ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    }
+    checked = 0
+    for k, v in jax.tree_util.tree_leaves_with_path(g_fused):
+        r = np.asarray(ref[jax.tree_util.keystr(k)])
+        np.testing.assert_allclose(
+            np.asarray(v), r, atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k),
+        )
+        checked += 1
+    assert checked > 20
+
+
 def test_fused_resample_parity():
     from skyrim_tpu.ops.resample import (
         fused_downsample,

@@ -1,0 +1,148 @@
+"""Parity tests for the fused row-MLP kernels and GraphCast's fused path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skyrim_tpu.ops.fused_mlp import (
+    fused_finish,
+    fused_mlp,
+    reference_finish,
+    reference_mlp,
+)
+
+
+def _rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape) * scale, jnp.float32
+    )
+
+
+@pytest.mark.parametrize("use_ln", [True, False])
+def test_fused_mlp_parity(use_ln):
+    x = _rand((700, 24), 0)
+    w1 = (_rand((24, 48), 1, 0.2), _rand((48,), 2, 0.1))
+    w2 = (_rand((48, 16), 3, 0.2), _rand((16,), 4, 0.1))
+    ln = (_rand((16,), 5), _rand((16,), 6)) if use_ln else None
+    out = fused_mlp(x, w1, w2, ln, interpret=True)
+    ref = reference_mlp(x, w1, w2, ln)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # grads through the custom VJP
+    g = jax.grad(
+        lambda x: jnp.sum(fused_mlp(x, w1, w2, ln, interpret=True) ** 2)
+    )(x)
+    gr = jax.grad(lambda x: jnp.sum(reference_mlp(x, w1, w2, ln) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
+def test_fused_mlp_x2_residual_parity():
+    x = _rand((516, 24), 0)
+    x2 = _rand((516, 16), 7)
+    res = _rand((516, 24), 8)
+    w1 = (_rand((40, 48), 1, 0.2), _rand((48,), 2, 0.1))
+    w2 = (_rand((48, 24), 3, 0.2), _rand((24,), 4, 0.1))
+    ln = (_rand((24,), 5), _rand((24,), 6))
+    out = fused_mlp(x, w1, w2, ln, x2=x2, residual=res, interpret=True)
+    ref = reference_mlp(x, w1, w2, ln, x2=x2, residual=res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g = jax.grad(
+        lambda a: jnp.sum(
+            fused_mlp(a, w1, w2, ln, x2=x2, residual=res, interpret=True) ** 2
+        )
+    )(x)
+    gr = jax.grad(
+        lambda a: jnp.sum(reference_mlp(a, w1, w2, ln, x2=x2, residual=res) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
+def test_graph_kernels_parity():
+    from skyrim_tpu.ops.graph_kernels import (
+        fused_block_messages,
+        fused_fixed_degree_messages,
+        reference_block_messages,
+        reference_fixed_degree_messages,
+    )
+
+    L, deg, N = 16, 3, 300
+    wide = _rand((N, deg * L), 0)
+    bias = _rand((N, deg * L), 1, 0.2)
+    ad = _rand((N, L), 2, 0.2)
+    b0 = _rand((L,), 3, 0.1)
+    wb = (_rand((L, L), 4, 0.2), _rand((L,), 5, 0.1))
+    ln = (_rand((L,), 6), _rand((L,), 7))
+    out = fused_fixed_degree_messages(
+        wide, bias, ad, b0, wb, ln, deg, interpret=True
+    )
+    ref = reference_fixed_degree_messages(wide, bias, ad, b0, wb, ln, deg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    B, M, SB = 4, 64, 16
+    src = _rand((B, M, L), 10)
+    bb = _rand((B, M, L), 11, 0.2)
+    rng = np.random.default_rng(12)
+    local = jnp.asarray(
+        np.sort(rng.integers(0, SB + 1, size=(B, M)), axis=-1), jnp.int32
+    )
+    out = fused_block_messages(src, bb, local, b0, wb, ln, SB, interpret=True)
+    ref = reference_block_messages(src, bb, local, b0, wb, ln, SB)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+    # grads flow (local is integer/nondiff)
+    g = jax.grad(
+        lambda s: jnp.sum(
+            fused_block_messages(s, bb, local, b0, wb, ln, SB, True) ** 2
+        )
+    )(src)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_finish_parity():
+    x = _rand((516, 32), 0)
+    b0 = _rand((32,), 1, 0.1)
+    wb = (_rand((32, 32), 2, 0.2), _rand((32,), 3, 0.1))
+    ln = (_rand((32,), 4), _rand((32,), 5))
+    out = fused_finish(x, b0, wb, ln, interpret=True)
+    ref = reference_finish(x, b0, wb, ln)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_graphcast_fused_matches_xla(monkeypatch):
+    """Whole-model parity: MLPs, finish, and the slot-major m2g through
+    the fused kernels vs the pure-XLA path (params tree identical)."""
+    from skyrim_tpu.models.graphcast import GraphCastConfig, GraphCastModel
+
+    cfg = GraphCastConfig(
+        lat=19, lon=36, in_channels=4, latent=16, processor_rounds=2,
+        mesh_refinements=2, edge_chunks=2,
+    )
+
+    def run(use_fused):
+        import skyrim_tpu.ops.flash_window_attention as fwa
+
+        monkeypatch.setattr(fwa, "use_pallas", lambda: use_fused)
+        model = GraphCastModel(cfg)
+        params = model.init_params(jax.random.key(0))
+        x = np.random.default_rng(0).normal(
+            size=(2, 4, 19, 36)
+        ).astype(np.float32)
+        return params, np.asarray(model.apply(params, x))
+
+    p_ref, ref = run(False)
+    p_fused, out = run(True)
+    # true params must be bit-identical; "cache" is DERIVED from them
+    # (prepare_params) and may differ in final-ulp rounding between paths
+    for (k, v), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(
+            {k: v for k, v in p_ref.items() if k != "cache"}
+        ),
+        jax.tree_util.tree_leaves_with_path(
+            {k: v for k, v in p_fused.items() if k != "cache"}
+        ),
+    ):
+        assert jax.tree_util.keystr(k) == jax.tree_util.keystr(k2)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.05)
