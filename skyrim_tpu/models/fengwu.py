@@ -18,6 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from skyrim_tpu import channels as ch
@@ -59,21 +60,55 @@ class FengWuNet(nn.Module):
 
     @nn.compact
     def __call__(self, groups):  # list of (hist·Ci, H, W) per modality
+        from skyrim_tpu.models.pangu import ConvParams
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
+
         cfg = self.cfg
         p = cfg.patch
         Ht, Wt = cfg.tokens
+        md = cfg.modal_dim
+        fused = use_pallas() and not self.is_initializing()
 
         # --- per-modal encoders ---
-        feats = []
-        for gi, gx in enumerate(groups):
-            h = gx.transpose(1, 2, 0)
-            h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
-            h = nn.Conv(
-                cfg.modal_dim, (p, p), strides=(p, p), dtype=h.dtype,
-                name=f"enc_{gi}",
-            )(h)
-            feats.append(h)
-        h = jnp.concatenate(feats, axis=-1)  # (Ht, Wt, n_modal·modal_dim)
+        if fused:
+            # all 6 modal patch convs as ONE block-diagonal grand GEMM
+            # over the concatenated channels — XLA's strided convs on
+            # few-channel inputs are layout-bound (same finding as FuXi's
+            # cube_embed, ~12 ms/step there).  The block weight is a
+            # pure scan-invariant function of the conv params.
+            cis = [g.shape[0] for g in groups]
+            offs = np.cumsum([0] + cis)
+            lanes = int(offs[-1])
+            x_all = jnp.concatenate([g.transpose(1, 2, 0) for g in groups], -1)
+            x_all = jnp.pad(x_all, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+            dt = x_all.dtype
+            Wg = jnp.zeros((p * p * lanes, len(groups) * md), jnp.float32)
+            bg = []
+            for gi, ci in enumerate(cis):
+                k, b = ConvParams((p, p, ci, md), name=f"enc_{gi}")()
+                for i in range(p):
+                    for j in range(p):
+                        row = (i * p + j) * lanes + int(offs[gi])
+                        Wg = Wg.at[row : row + ci, gi * md : (gi + 1) * md].set(
+                            k[i, j]
+                        )
+                bg.append(b)
+            bias_g = jnp.concatenate(bg)
+            pt = x_all.reshape(Ht, p, Wt, p, lanes).transpose(0, 2, 1, 3, 4)
+            pt = pt.reshape(Ht * Wt, p * p * lanes)
+            h = pt @ Wg.astype(dt) + bias_g.astype(dt)
+            h = h.reshape(Ht, Wt, len(groups) * md)
+        else:
+            feats = []
+            for gi, gx in enumerate(groups):
+                h = gx.transpose(1, 2, 0)
+                h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+                h = nn.Conv(
+                    cfg.modal_dim, (p, p), strides=(p, p), dtype=h.dtype,
+                    name=f"enc_{gi}",
+                )(h)
+                feats.append(h)
+            h = jnp.concatenate(feats, axis=-1)  # (Ht, Wt, n_modal·modal_dim)
         h = nn.Dense(cfg.fuser_dim, dtype=h.dtype, name="fuse_in")(h)
 
         # --- cross-modal fuser ---
@@ -86,8 +121,31 @@ class FengWuNet(nn.Module):
         h = hp[:Ht]
 
         # --- per-modal decoders ---
-        outs = []
         n_out = [cfg.surface_channels] + [cfg.levels] * cfg.level_vars
+        if fused:
+            # all 6 transposed convs as one grand recovery GEMM (kernels
+            # spatially flipped — flax ConvTranspose semantics, see
+            # models/pangu.py grand_weights)
+            D = cfg.fuser_dim
+            co_offs = np.cumsum([0] + n_out)
+            Cout = int(co_offs[-1])
+            Wr = jnp.zeros((D, p, p, Cout), jnp.float32)
+            brs = []
+            for gi, nc_g in enumerate(n_out):
+                k, b = ConvParams((p, p, D, nc_g), name=f"dec_{gi}")()
+                kf = k[::-1, ::-1].transpose(2, 0, 1, 3)  # (D, p, p, nc)
+                Wr = Wr.at[:, :, :, int(co_offs[gi]) : int(co_offs[gi + 1])].set(kf)
+                brs.append(b)
+            bias_r = jnp.concatenate(brs)
+            y = h.reshape(Ht * Wt, D) @ Wr.reshape(D, p * p * Cout).astype(h.dtype)
+            y = y.reshape(Ht, Wt, p, p, Cout) + bias_r.astype(h.dtype)
+            y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, Cout)
+            y = y[: cfg.lat].transpose(2, 0, 1)  # (ΣCi, H, W)
+            return [
+                y[int(co_offs[gi]) : int(co_offs[gi + 1])]
+                for gi in range(len(n_out))
+            ]
+        outs = []
         for gi, nc in enumerate(n_out):
             o = nn.ConvTranspose(
                 nc, (p, p), strides=(p, p), dtype=h.dtype, name=f"dec_{gi}"

@@ -99,15 +99,17 @@ class SwinBlock2D(nn.Module):
             ln2 = LNParams(name="LayerNorm_1")(C)
             w1, b1 = DenseParams(C * 4, name="Dense_0")(C)
             w2, b2 = DenseParams(C, name="Dense_1")(C * 4)
+            from skyrim_tpu.ops.roll import shift_roll
+
             h = x[None]
             if self.shifted:
-                h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
+                h = shift_roll(h, shift, forward=True)
             h = fused_swin_block_4d(
                 h, ln1, (qw, qb), bias, mask, (pw, pb), ln2,
                 (w1, b1, w2, b2), win3, self.heads,
             )
             if self.shifted:
-                h = jnp.roll(h, (shift[1], shift[2]), axis=(1, 2))
+                h = shift_roll(h, shift, forward=False)
             return h[0]
 
         h = nn.LayerNorm(dtype=x.dtype)(x)
@@ -152,13 +154,31 @@ class FuXiNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (hist·C, H, W) → (C, H, W)
+        from skyrim_tpu.models.pangu import ConvParams
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
+
         cfg = self.cfg
         p = cfg.patch
         Ht, Wt = cfg.tokens
+        Cin = x.shape[0]
+        D = cfg.embed_dim
+        fused = use_pallas() and not self.is_initializing()
         h = x.transpose(1, 2, 0)
         h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
-        h = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), dtype=h.dtype,
-                    name="cube_embed")(h)
+        if fused:
+            # patch embed as ONE GEMM — XLA's strided conv on this
+            # geometry costs ~12 ms/step in T(2,128) layout relayouts
+            # (measured with utils/op_stats); the kernel reshape is free
+            # and scan-invariant.  Same math as nn.Conv (correlation,
+            # stride = kernel = p).
+            k, b = ConvParams((p, p, Cin, D), name="cube_embed")()
+            pt = h.reshape(Ht, p, Wt, p, Cin).transpose(0, 2, 1, 3, 4)
+            pt = pt.reshape(Ht * Wt, p * p * Cin)
+            h = pt @ k.reshape(p * p * Cin, D).astype(h.dtype)
+            h = (h + b.astype(h.dtype)).reshape(Ht, Wt, D)
+        else:
+            h = nn.Conv(D, (p, p), strides=(p, p), dtype=h.dtype,
+                        name="cube_embed")(h)
         skip = h
         hp = jnp.pad(h, ((0, (-Ht) % cfg.window[0]), (0, 0), (0, 0)))
         for i in range(cfg.depth):
@@ -167,9 +187,21 @@ class FuXiNet(nn.Module):
                 shifted=(i % 2 == 1), valid_h=Ht, name=f"block_{i}",
             )(hp)
         h = hp[:Ht] + skip
-        h = nn.ConvTranspose(
-            cfg.in_channels, (p, p), strides=(p, p), dtype=h.dtype, name="head"
-        )(h)[: cfg.lat]
+        Cout = cfg.in_channels
+        if fused:
+            # patch recovery as one GEMM; flax ConvTranspose applies the
+            # kernel spatially flipped (models/pangu.py grand_weights),
+            # so flip here and converted checkpoints keep their layout
+            kr, br = ConvParams((p, p, D, Cout), name="head")()
+            wr = kr[::-1, ::-1].transpose(2, 0, 1, 3).reshape(D, p * p * Cout)
+            y = h.reshape(Ht * Wt, D) @ wr.astype(h.dtype)
+            y = y.reshape(Ht, Wt, p, p, Cout) + br.astype(h.dtype)
+            y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, Cout)
+            h = y[: cfg.lat]
+        else:
+            h = nn.ConvTranspose(
+                Cout, (p, p), strides=(p, p), dtype=h.dtype, name="head"
+            )(h)[: cfg.lat]
         return h.transpose(2, 0, 1)
 
 

@@ -176,12 +176,14 @@ class PanguBlock(nn.Module):
             hidden = int(self.dim * self.mlp_ratio)
             w1, b1 = DenseParams(hidden, name="Dense_0")(C)
             w2, b2 = DenseParams(self.dim, name="Dense_1")(hidden)
-            h = jnp.roll(x, tuple(-s for s in shift), (0, 1, 2)) if self.shifted else x
+            from skyrim_tpu.ops.roll import shift_roll
+
+            h = shift_roll(x, shift, forward=True) if self.shifted else x
             h = fused_swin_block_4d(
                 h, ln1, (qw, qb), bias, mask, (pw, pb), ln2,
                 (w1, b1, w2, b2), win, self.heads,
             )
-            return jnp.roll(h, shift, (0, 1, 2)) if self.shifted else h
+            return shift_roll(h, shift, forward=False) if self.shifted else h
 
         h = nn.LayerNorm(dtype=x.dtype)(x)
         if self.shifted:

@@ -198,6 +198,25 @@ def test_pangu_fused_path_differentiable(monkeypatch):
     assert checked > 20
 
 
+def test_roll3d_parity():
+    from skyrim_tpu.ops.roll import roll3d, shift_roll
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 9, 24, 16)), jnp.float32)
+    for s in [(1, 3, 6), (0, 3, 6), (3, 8, 23), (0, 0, 5)]:
+        out = roll3d(x, s, interpret=True)
+        ref = jnp.roll(x, tuple(-v for v in s), (0, 1, 2))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # inverse composes to identity; grads are the opposite roll
+    y = shift_roll(shift_roll(x, (1, 3, 6), True), (1, 3, 6), False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    g = jax.grad(lambda a: jnp.sum(roll3d(a, (1, 3, 6), True) ** 2))(x)
+    gr = jax.grad(
+        lambda a: jnp.sum(jnp.roll(a, (-1, -3, -6), (0, 1, 2)) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-6)
+
+
 def test_fused_resample_parity():
     from skyrim_tpu.ops.resample import (
         fused_downsample,

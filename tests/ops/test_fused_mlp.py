@@ -99,6 +99,69 @@ def test_graph_kernels_parity():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_fuxi_fused_matches_xla(monkeypatch):
+    """FuXi whole-net: patch-GEMM embed/head + fused blocks vs the
+    conv/XLA path (identical param tree)."""
+    from skyrim_tpu.models.fuxi import FuXiConfig, FuXiModel
+
+    cfg = FuXiConfig(lat=49, lon=96, in_channels=5, embed_dim=16,
+                     depth=2, num_heads=2)
+
+    def run(use_fused):
+        import skyrim_tpu.ops.flash_window_attention as fwa
+
+        monkeypatch.setattr(fwa, "use_pallas", lambda: use_fused)
+        model = FuXiModel(cfg)
+        params = model.init_params(jax.random.key(0))
+        x = np.random.default_rng(0).normal(size=(2, 5, 49, 96)).astype(
+            np.float32
+        )
+        return params, np.asarray(model.apply(params, x))
+
+    p_ref, ref = run(False)
+    p_fused, out = run(True)
+    for (k, v), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_fused),
+    ):
+        assert jax.tree_util.keystr(k) == jax.tree_util.keystr(k2)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.05)
+
+
+def test_fengwu_fused_matches_xla(monkeypatch):
+    """FengWu whole-net: block-diagonal grand encoder GEMM + grand
+    decoder GEMM + fused blocks vs the conv/XLA path."""
+    from skyrim_tpu.models.fengwu import FengWuConfig, FengWuModel
+
+    cfg = FengWuConfig(
+        lat=49, lon=96, levels=3, surface_channels=2, level_vars=2,
+        modal_dim=8, fuser_dim=24, depth=2, num_heads=2,
+    )
+
+    def run(use_fused):
+        import skyrim_tpu.ops.flash_window_attention as fwa
+
+        monkeypatch.setattr(fwa, "use_pallas", lambda: use_fused)
+        model = FengWuModel(cfg)
+        params = model.init_params(jax.random.key(0))
+        nc = cfg.in_channels
+        x = np.random.default_rng(0).normal(size=(2, nc, 49, 96)).astype(
+            np.float32
+        )
+        return params, np.asarray(model.apply(params, x))
+
+    p_ref, ref = run(False)
+    p_fused, out = run(True)
+    for (k, v), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_fused),
+    ):
+        assert jax.tree_util.keystr(k) == jax.tree_util.keystr(k2)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.05)
+
+
 def test_fused_finish_parity():
     x = _rand((516, 32), 0)
     b0 = _rand((32,), 1, 0.1)
