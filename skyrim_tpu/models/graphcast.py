@@ -68,14 +68,17 @@ class MLP(nn.Module):
     final_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, x2=None, residual=None):
+    def __call__(self, x, x2=None, residual=None, x_transposed=False):
         """x2 feeds the tail of the first layer (≡ concat([x, x2]));
         residual is added to the output — both exist so the fused
         kernel can absorb them (Pallas calls are XLA fusion barriers:
-        a concat/add left outside costs a full HBM pass)."""
+        a concat/add left outside costs a full HBM pass).
+        ``x_transposed``: x arrives feature-major (Cin, N) and the first
+        GEMM contracts the leading dim (no relayout)."""
         from skyrim_tpu.ops.flash_window_attention import use_pallas
 
-        in_feat = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+        feat_ax = 0 if x_transposed else -1
+        in_feat = x.shape[feat_ax] + (x2.shape[-1] if x2 is not None else 0)
         if use_pallas() and x.ndim == 2 and not self.is_initializing():
             # one HBM pass over the rows (ops/fused_mlp.py); param
             # holders fetch the exact nn.Dense/LayerNorm tree
@@ -88,8 +91,11 @@ class MLP(nn.Module):
                 LNParams(name="LayerNorm_0")(self.out)
                 if self.final_norm else None
             )
-            return fused_mlp(x, w1, w2, ln, x2=x2, residual=residual)
+            return fused_mlp(x, w1, w2, ln, x2=x2, residual=residual,
+                             x_transposed=x_transposed)
 
+        if x_transposed:
+            x = x.T
         if x2 is not None:
             x = jnp.concatenate([x, x2], axis=-1)
         h = nn.Dense(self.hidden, dtype=x.dtype)(x)
@@ -501,7 +507,7 @@ class GraphCastNet(nn.Module):
         }
 
     def __call__(self, grid_in, cache: dict | None = None):
-        # (n_grid, F_in) → (n_grid, C_out)
+        # grid_in feature-major (F_in, n_grid) → (n_grid, C_out)
         cfg = self.cfg
         g = self.graphs
         if cache is None and not self.is_initializing():
@@ -509,7 +515,7 @@ class GraphCastNet(nn.Module):
         cache = cache or {}
         dt = self.dtype
 
-        grid_lat = self.embed_grid(grid_in)
+        grid_lat = self.embed_grid(grid_in, x_transposed=True)
         mesh_lat = cache.get("mesh_embed")
         if mesh_lat is None:
             mesh_lat = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
@@ -574,20 +580,25 @@ class GraphCastModel(PrognosticModel):
         return jnp.concatenate([tisr[None], clock], axis=0)
 
     def _grid_input(self, params, x, time_days):
-        """(hist, C, H, W) → (n_grid, hist·C + 5 forcings + 3 static)."""
+        """(hist, C, H, W) → feature-major (hist·C + 5 forcings +
+        3 static, n_grid) — the embed MLP consumes it transposed, so no
+        (n_grid, feat) relayout ever materializes."""
         nc = self.cfg.in_channels
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
         forc = self._forcings(time_days).astype(self.compute_dtype)
-        flat = jnp.concatenate(
-            [xn.reshape(self.n_history * nc, -1), forc.reshape(self.N_FORCINGS, -1)]
-        ).T  # (n_grid, hist·C + 5)
-        static = jnp.asarray(self.graphs["grid_nfeat"], flat.dtype)
-        return jnp.concatenate([flat, static], axis=-1)
+        static = jnp.asarray(self.graphs["grid_nfeat"].T, self.compute_dtype)
+        return jnp.concatenate(
+            [
+                xn.reshape(self.n_history * nc, -1),
+                forc.reshape(self.N_FORCINGS, -1),
+                static,
+            ]
+        )
 
     def init_params(self, rng):
         nc = self.cfg.in_channels
         dummy = jnp.zeros(
-            (self.graphs["n_grid"], self.n_history * nc + self.N_FORCINGS + 3),
+            (self.n_history * nc + self.N_FORCINGS + 3, self.graphs["n_grid"]),
             jnp.float32,
         )
         variables = jax.jit(self.module.init)(rng, dummy)

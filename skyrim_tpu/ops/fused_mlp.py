@@ -33,7 +33,7 @@ def _rows_tile(n_rows: int, row_bytes: int, budget: int = 8 * 2**20) -> int:
     return min(-(-t // 256) * 256, max(n_rows, 256))
 
 
-def _mlp_kernel(*refs, use_ln, use_x2, use_res):
+def _mlp_kernel(*refs, use_ln, use_x2, use_res, x_t):
     it = iter(refs)
     x_ref = next(it)
     x2_ref = next(it) if use_x2 else None
@@ -47,8 +47,11 @@ def _mlp_kernel(*refs, use_ln, use_x2, use_res):
     lnb_ref = next(it)
     o_ref = next(it)
     dt = x_ref.dtype
+    # x_t: x arrives feature-major (Cin, R) — contract dim 0 against dim
+    # 0 of W1, an MXU-native transposed operand (no relayout anywhere)
     h = jax.lax.dot_general(
-        x_ref[...], w1a_ref[...], (((1,), (0,)), ((), ())),
+        x_ref[...], w1a_ref[...],
+        (((0 if x_t else 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if use_x2:
@@ -73,8 +76,11 @@ def _mlp_kernel(*refs, use_ln, use_x2, use_res):
     o_ref[...] = y
 
 
-def reference_mlp(x, w1b1, w2b2, ln, x2=None, residual=None):
+def reference_mlp(x, w1b1, w2b2, ln, x2=None, residual=None,
+                  x_transposed=False):
     dt = x.dtype
+    if x_transposed:
+        x = x.T
     if x2 is not None:
         x = jnp.concatenate([x, x2], axis=-1)
     h = nn.swish(x @ w1b1[0].astype(dt) + w1b1[1].astype(dt))
@@ -88,18 +94,20 @@ def reference_mlp(x, w1b1, w2b2, ln, x2=None, residual=None):
     return y
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _mlp_vjp(x, w1b1, w2b2, ln, x2, residual, interpret):
-    return _mlp_impl(x, w1b1, w2b2, ln, x2, residual, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _mlp_vjp(x, w1b1, w2b2, ln, x2, residual, x_t, interpret):
+    return _mlp_impl(x, w1b1, w2b2, ln, x2, residual, x_t, interpret)
 
 
-def _mlp_fwd(x, w1b1, w2b2, ln, x2, residual, interpret):
-    out = _mlp_impl(x, w1b1, w2b2, ln, x2, residual, interpret)
+def _mlp_fwd(x, w1b1, w2b2, ln, x2, residual, x_t, interpret):
+    out = _mlp_impl(x, w1b1, w2b2, ln, x2, residual, x_t, interpret)
     return out, (x, w1b1, w2b2, ln, x2, residual)
 
 
-def _mlp_bwd(interpret, res, g):
-    _, vjp = jax.vjp(reference_mlp, *res)
+def _mlp_bwd(x_t, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: reference_mlp(*a, x_transposed=x_t), *res
+    )
     return vjp(g)
 
 
@@ -107,21 +115,27 @@ _mlp_vjp.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def fused_mlp(x, w1b1, w2b2, ln=None, x2=None, residual=None,
-              interpret: bool = False):
+              x_transposed: bool = False, interpret: bool = False):
     """[residual +] (Dense → swish → Dense [→ LayerNorm]) over rows,
     one HBM pass.
 
-    x: (N, Cin); w1b1: ((Cin[+Cin2], H), (H,)); w2b2: ((H, Cout),
-    (Cout,)); ln: optional (scale, bias) over Cout.  ``x2`` feeds the
-    first layer's trailing kernel rows (≡ concat([x, x2]) without
-    materializing it); ``residual`` is added to the output in-kernel.
+    x: (N, Cin) — or (Cin, N) with ``x_transposed`` (the first GEMM
+    contracts the leading dim; MXU handles the transposed operand
+    natively, so callers skip their relayout).  w1b1: ((Cin[+Cin2], H),
+    (H,)); w2b2: ((H, Cout), (Cout,)); ln: optional (scale, bias) over
+    Cout.  ``x2`` feeds the first layer's trailing kernel rows
+    (≡ concat([x, x2]) without materializing it); ``residual`` is added
+    to the output in-kernel.  Output is (N, Cout) either way.
     """
-    return _mlp_vjp(x, w1b1, w2b2, ln, x2, residual, interpret)
+    return _mlp_vjp(x, w1b1, w2b2, ln, x2, residual, x_transposed, interpret)
 
 
-def _mlp_impl(x, w1b1, w2b2, ln, x2, residual, interpret):
+def _mlp_impl(x, w1b1, w2b2, ln, x2, residual, x_t, interpret):
     interpret = interpret or jax.default_backend() == "cpu"
-    N, Cin = x.shape
+    if x_t:
+        Cin, N = x.shape
+    else:
+        N, Cin = x.shape
     H = w1b1[0].shape[1]
     Cout = w2b2[0].shape[1]
     dt = x.dtype
@@ -146,8 +160,15 @@ def _mlp_impl(x, w1b1, w2b2, ln, x2, residual, interpret):
     def rows(r):
         return (r, 0)
 
+    def cols(r):
+        return (0, r)
+
     args = [x]
-    in_specs = [pl.BlockSpec((R, Cin), rows, memory_space=pltpu.VMEM)]
+    in_specs = [
+        pl.BlockSpec((Cin, R), cols, memory_space=pltpu.VMEM)
+        if x_t else
+        pl.BlockSpec((R, Cin), rows, memory_space=pltpu.VMEM)
+    ]
     if use_x2:
         args.append(x2)
         in_specs.append(pl.BlockSpec((R, Cin2), rows, memory_space=pltpu.VMEM))
@@ -169,7 +190,8 @@ def _mlp_impl(x, w1b1, w2b2, ln, x2, residual, interpret):
     ]
 
     return pl.pallas_call(
-        partial(_mlp_kernel, use_ln=use_ln, use_x2=use_x2, use_res=use_res),
+        partial(_mlp_kernel, use_ln=use_ln, use_x2=use_x2, use_res=use_res,
+                x_t=x_t),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((R, Cout), rows, memory_space=pltpu.VMEM),

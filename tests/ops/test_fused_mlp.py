@@ -36,6 +36,26 @@ def test_fused_mlp_parity(use_ln):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
 
 
+def test_fused_mlp_transposed_input():
+    x = _rand((24, 700), 0)  # feature-major (Cin, N)
+    w1 = (_rand((24, 48), 1, 0.2), _rand((48,), 2, 0.1))
+    w2 = (_rand((48, 16), 3, 0.2), _rand((16,), 4, 0.1))
+    ln = (_rand((16,), 5), _rand((16,), 6))
+    out = fused_mlp(x, w1, w2, ln, x_transposed=True, interpret=True)
+    ref = reference_mlp(x, w1, w2, ln, x_transposed=True)
+    assert out.shape == (700, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g = jax.grad(
+        lambda a: jnp.sum(
+            fused_mlp(a, w1, w2, ln, x_transposed=True, interpret=True) ** 2
+        )
+    )(x)
+    gr = jax.grad(
+        lambda a: jnp.sum(reference_mlp(a, w1, w2, ln, x_transposed=True) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
 def test_fused_mlp_x2_residual_parity():
     x = _rand((516, 24), 0)
     x2 = _rand((516, 16), 7)
