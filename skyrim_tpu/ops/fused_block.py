@@ -90,6 +90,7 @@ def _fused_block_kernel(
     w1_ref, b1_ref,
     w2_ref, b2_ref,
     o_ref,
+    *, has_mask,
 ):
     wz, wh, tww, C = x_ref.shape
     heads = bias_ref.shape[1]
@@ -112,19 +113,32 @@ def _fused_block_kernel(
     )
     qkv = (qkv + qb_ref[...].astype(jnp.float32)).astype(dt)
     qkv = qkv.reshape(tw, wlen, 3 * C)
-    mask = mask_ref[0, 0]
-    outs = []
-    for hh in range(heads):
+    mask = mask_ref[0, 0] if has_mask else None
+
+    def scores(hh):
         q = qkv[:, :, hh * hd : (hh + 1) * hd]
         k = qkv[:, :, C + hh * hd : C + (hh + 1) * hd]
-        v = qkv[:, :, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
-        s = s + bias_ref[0, hh][None].astype(jnp.float32) + mask[None]
+        s = s + bias_ref[0, hh][None].astype(jnp.float32)
+        # unshifted blocks carry no mask — adding broadcast zeros would
+        # still cost a full VPU pass over the score matrix
+        return s + mask[None] if has_mask else s
+
+    # software-pipelined head loop: head h+1's QKᵀ (MXU) is issued
+    # before head h's softmax (VPU) so the scheduler can overlap them —
+    # the kernel is VPU-bound at C=192
+    outs = []
+    s_next = scores(0)
+    for hh in range(heads):
+        s = s_next
+        if hh + 1 < heads:
+            s_next = scores(hh + 1)
+        v = qkv[:, :, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
         # softmax with the normalization folded into the AV output:
         # dividing (…, wlen, hd) costs wlen/hd≈4.5× fewer VPU elements
-        # than dividing the score matrix (the kernel is VPU-bound)
+        # than dividing the score matrix
         e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
         av = jax.lax.dot_general(
             e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
@@ -260,9 +274,10 @@ def _fused_swin_block_impl(
         bias = bias[None]
     n_types = bias.shape[0]
     assert n_types in (1, nz * nh)
+    has_mask = mask is not None
     if mask is None:
         mz = mh = 1
-        mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)
+        mask = jnp.zeros((1, 1, wlen, wlen), jnp.float32)  # unread dummy
     else:
         mz, mh = mask.shape[:2]
         assert (mz, mh) == (nz, nh)
@@ -310,7 +325,7 @@ def _fused_swin_block_impl(
         return (0, 0)
 
     return pl.pallas_call(
-        _fused_block_kernel,
+        _partial(_fused_block_kernel, has_mask=has_mask),
         grid=(nz, nh, ntw),
         in_specs=[
             pl.BlockSpec((wz, wh, tw * ww, C), lambda z, h, t: (z, h, t, 0),
