@@ -104,3 +104,32 @@ def test_dp_ensemble_rollout():
     state = model.init_state(params, ics[2])
     _, ys = scan_rollout(model, params, state, n_steps=2)
     np.testing.assert_allclose(out[2], np.asarray(ys), atol=2e-2, rtol=1e-4)
+
+
+def test_xla_fallback_context(monkeypatch):
+    """GSPMD cannot partition Pallas custom-calls: the sharded entry
+    points trace inside xla_fallback(), which must force the XLA paths
+    even on an accelerator backend."""
+    import contextlib
+
+    import skyrim_tpu.ops.flash_window_attention as fwa
+    from skyrim_tpu.parallel.sharding import _maybe_xla_fallback
+
+    monkeypatch.setattr(fwa.jax, "default_backend", lambda: "tpu")
+    assert fwa.use_pallas()
+    with fwa.xla_fallback():
+        assert not fwa.use_pallas()
+        with fwa.xla_fallback():  # re-entrant
+            assert not fwa.use_pallas()
+        assert not fwa.use_pallas()
+    assert fwa.use_pallas()
+
+    # >1-device meshes get the fallback; single-device keeps kernels
+    from skyrim_tpu.parallel.mesh import make_mesh, single_device_mesh
+
+    multi = make_mesh(2, 1, 4)
+    with _maybe_xla_fallback(multi):
+        assert not fwa.use_pallas()
+    single = single_device_mesh()
+    ctx = _maybe_xla_fallback(single)
+    assert isinstance(ctx, contextlib.nullcontext().__class__)
