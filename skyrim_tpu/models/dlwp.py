@@ -111,22 +111,46 @@ class DLWPModel(PrognosticModel):
 
     # -- remaps (static gathers) -------------------------------------------
 
+    # Both remaps run CHANNEL-MINOR: gathering along the minor axis of a
+    # (N, C, points) tensor lowers as strided element gathers in
+    # T(2,128) layouts (~41 ms/step of relayout copies, measured with
+    # utils/op_stats).  Row gathers on a (points, N·C) table keep
+    # everything in plain T(8,128); the (rows·k, NC) → (rows, k·NC)
+    # reinterpret is a free bitcast, and the weighted sum runs on flat
+    # lane slices.
+
+    def _interp_rows(self, table: jax.Array, idx, w) -> jax.Array:
+        """table (src_points, D); idx (dst, k); w (dst, k) → (dst, D)."""
+        k = idx.shape[-1]
+        D = table.shape[-1]
+        g = table[jnp.asarray(idx.reshape(-1))]  # (dst·k, D) row gather
+        g = g.reshape(-1, k * D)  # free reinterpret
+        wf = jnp.asarray(w.reshape(-1, k))
+        out = None
+        for j in range(k):
+            part = wf[:, j : j + 1] * g[:, j * D : (j + 1) * D]
+            out = part if out is None else out + part
+        return out
+
     def _remap_to_cs(self, x: jax.Array) -> jax.Array:
         """(N, C, H, W) → (N, 6, F, F, C)."""
         idx, w = self._to_cs
         N, C = x.shape[:2]
-        flat = x.reshape(N, C, -1)
-        gathered = flat[:, :, idx.reshape(-1)].reshape(N, C, *idx.shape)
-        cs = (gathered * w).sum(-1)  # (N, C, 6, F, F)
-        return jnp.moveaxis(cs, 1, -1)
+        F = self.face_size
+        table = x.reshape(N * C, -1).T  # (H·W, N·C)
+        out = self._interp_rows(table, idx.reshape(-1, idx.shape[-1]), w)
+        out = out.reshape(6, F, F, N, C)
+        return jnp.moveaxis(out, 3, 0)  # (N, 6, F, F, C)
 
     def _remap_to_ll(self, x: jax.Array) -> jax.Array:
         """(N, 6, F, F, C) → (N, C, H, W)."""
         idx, w = self._to_ll
         N, C = x.shape[0], x.shape[-1]
-        flat = jnp.moveaxis(x, -1, 1).reshape(N, C, -1)  # (N, C, 6FF)
-        gathered = flat[:, :, idx.reshape(-1)].reshape(N, C, *idx.shape)
-        return (gathered * w).sum(-1)
+        H, W = idx.shape[:2]
+        table = x.reshape(N, -1, C).transpose(1, 0, 2).reshape(-1, N * C)
+        out = self._interp_rows(table, idx.reshape(-1, idx.shape[-1]), w)
+        out = out.reshape(H, W, N, C)
+        return out.transpose(2, 3, 0, 1)  # (N, C, H, W)
 
     # -- PrognosticModel ----------------------------------------------------
 
