@@ -4,7 +4,9 @@
 
 test: test-unit
 
-test-unit:
+# the unit tier builds the native GRIB decoder first so its fast path is
+# exercised end-to-end (tests fall back to pure Python when absent)
+test-unit: native
 	python -m pytest tests/ -q -m "not integ and not tpu"
 
 test-integration:

@@ -12,8 +12,9 @@ reference, per SURVEY.md §7 "defects to fix":
 
 Members run sequentially with per-member parameter eviction — the TPU
 analog of the reference's cuda load/release swap (ensemble.py:29-49);
-device-parallel members over a ``dp`` mesh axis live in
-parallel/ensemble_dp.py.
+device-parallel members over a ``dp`` mesh axis run through
+``parallel/sharding.py:dp_ensemble_rollout`` (and IC-perturbation
+ensembles through ``core/ic_ensemble.py``).
 """
 
 from __future__ import annotations
@@ -35,15 +36,35 @@ class GlobalEnsemble:
         self._model_kwargs = kwargs
         self.model_name = "ensemble[" + ",".join(sorted(self.model_names)) + "]"
         self._common_channels: list[str] | None = None
+        self._time_step: datetime.timedelta | None = None
 
     @property
     def time_step(self) -> datetime.timedelta:
-        # first member defines the cadence; members are validated to agree
-        return datetime.timedelta(hours=6)
+        """The members' common cadence; mixed-cadence ensembles are
+        rejected (the reference hardcoded 6 h, ensemble.py:21-24)."""
+        if self._time_step is None:
+            from skyrim_tpu.models import MODELS
+
+            # bare model construction is cheap (no weights are loaded)
+            steps = {n: MODELS[n]().time_step for n in self.model_names}
+            if len(set(steps.values())) > 1:
+                raise ValueError(
+                    f"ensemble members disagree on time_step: "
+                    f"{ {k: str(v) for k, v in steps.items()} }"
+                )
+            self._time_step = next(iter(steps.values()))
+        return self._time_step
 
     def _run_member(self, name: str, fn):
         """Instantiate a member, run fn(member), release its parameters."""
         member = GlobalModel(name, ic_source=self.ic_source, **self._model_kwargs)
+        if self._time_step is None:
+            self._time_step = member.time_step
+        elif member.time_step != self._time_step:
+            raise ValueError(
+                f"ensemble member {name} steps {member.time_step}, "
+                f"earlier members step {self._time_step}"
+            )
         chans = set(member.out_channel_names)
         self._common_channels = (
             sorted(chans)

@@ -52,13 +52,20 @@ def xla_fallback():
 
 
 def use_pallas() -> bool:
-    """Fused kernels on accelerators; XLA parity path on CPU/debug."""
+    """Fused kernels on accelerators; XLA parity path on CPU/debug.
+
+    ``SKYRIM_FORCE_PALLAS=1`` keeps the fused kernels on CPU too (they
+    flip to interpret mode there) — used by the sharded-parity tests to
+    exercise the shard_map+Pallas path on the virtual CPU mesh.
+    """
     import os
 
     if _XLA_FALLBACK:
         return False
     if os.environ.get("SKYRIM_NO_PALLAS"):
         return False
+    if os.environ.get("SKYRIM_FORCE_PALLAS"):
+        return True
     return jax.default_backend() != "cpu"
 
 

@@ -14,7 +14,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+shard_map = jax.shard_map
 
 from skyrim_tpu.parallel.mesh import AXES
 
@@ -62,7 +63,7 @@ def halo_pad(
 
     @partial(
         shard_map, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     def exchange(xl):
         h_ax, w_ax = ndim - 2, ndim - 1
