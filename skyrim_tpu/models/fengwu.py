@@ -65,7 +65,11 @@ class FengWuNet(nn.Module):
 
         cfg = self.cfg
         p = cfg.patch
-        Ht, Wt = cfg.tokens
+        # token extents from the ACTUAL input: inside a lon-manual
+        # shard_map region (parallel/fused_shard.py) groups are this
+        # shard's local lon chunks — no W geometry from config
+        Hin, Win = groups[0].shape[1], groups[0].shape[2]
+        Ht, Wt = -(-Hin // p), Win // p
         md = cfg.modal_dim
         fused = use_pallas() and not self.is_initializing()
 
@@ -80,7 +84,7 @@ class FengWuNet(nn.Module):
             offs = np.cumsum([0] + cis)
             lanes = int(offs[-1])
             x_all = jnp.concatenate([g.transpose(1, 2, 0) for g in groups], -1)
-            x_all = jnp.pad(x_all, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+            x_all = jnp.pad(x_all, ((0, (-Hin) % p), (0, 0), (0, 0)))
             dt = x_all.dtype
             Wg = jnp.zeros((p * p * lanes, len(groups) * md), jnp.float32)
             bg = []
@@ -102,7 +106,7 @@ class FengWuNet(nn.Module):
             feats = []
             for gi, gx in enumerate(groups):
                 h = gx.transpose(1, 2, 0)
-                h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+                h = jnp.pad(h, ((0, (-Hin) % p), (0, 0), (0, 0)))
                 h = nn.Conv(
                     cfg.modal_dim, (p, p), strides=(p, p), dtype=h.dtype,
                     name=f"enc_{gi}",
@@ -140,7 +144,7 @@ class FengWuNet(nn.Module):
             y = h.reshape(Ht * Wt, D) @ Wr.reshape(D, p * p * Cout).astype(h.dtype)
             y = y.reshape(Ht, Wt, p, p, Cout) + bias_r.astype(h.dtype)
             y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, Cout)
-            y = y[: cfg.lat].transpose(2, 0, 1)  # (ΣCi, H, W)
+            y = y[:Hin].transpose(2, 0, 1)  # (ΣCi, H, W)
             return [
                 y[int(co_offs[gi]) : int(co_offs[gi + 1])]
                 for gi in range(len(n_out))
@@ -149,7 +153,7 @@ class FengWuNet(nn.Module):
         for gi, nc in enumerate(n_out):
             o = nn.ConvTranspose(
                 nc, (p, p), strides=(p, p), dtype=h.dtype, name=f"dec_{gi}"
-            )(h)[: cfg.lat]
+            )(h)[:Hin]
             outs.append(o.transpose(2, 0, 1))
         return outs  # [surface (4,H,W), z (13,H,W), q, u, v, t]
 
@@ -158,6 +162,11 @@ class FengWuModel(PrognosticModel):
     name = "fengwu"
     channels = ch.FENGWU
     n_history = 2
+    lon_manual = True  # whole-step shard_map path (parallel/fused_shard.py)
+
+    @property
+    def lon_shard_divisor(self) -> int:
+        return self.cfg.tokens[1]
 
     def __init__(self, cfg: FengWuConfig | None = None):
         self.cfg = cfg or FengWuConfig()

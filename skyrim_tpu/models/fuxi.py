@@ -99,6 +99,13 @@ class SwinBlock2D(nn.Module):
             ln2 = LNParams(name="LayerNorm_1")(C)
             w1, b1 = DenseParams(C * 4, name="Dense_0")(C)
             w2, b2 = DenseParams(C, name="Dense_1")(C * 4)
+            from skyrim_tpu.parallel import fused_shard as FS
+
+            if FS.current() is not None:
+                return FS.manual_swin_block(
+                    x[None], ln1, (qw, qb), bias, mask, (pw, pb), ln2,
+                    (w1, b1, w2, b2), win3, self.heads, shift=shift,
+                )[0]
             from skyrim_tpu.ops.roll import shift_roll
 
             h = x[None]
@@ -112,6 +119,12 @@ class SwinBlock2D(nn.Module):
                 h = shift_roll(h, shift, forward=False)
             return h[0]
 
+        from skyrim_tpu.parallel import fused_shard as _FS
+
+        assert _FS.current() is None, (
+            "lon-manual regions require the fused Pallas path "
+            "(set SKYRIM_FORCE_PALLAS=1 on CPU)"
+        )
         h = nn.LayerNorm(dtype=x.dtype)(x)
         h = h[None]  # (1, H, W, C) reuse 3D helpers with Z=1
         if self.shifted:
@@ -159,12 +172,16 @@ class FuXiNet(nn.Module):
 
         cfg = self.cfg
         p = cfg.patch
-        Ht, Wt = cfg.tokens
+        # token extents from the ACTUAL input: inside a lon-manual
+        # shard_map region (parallel/fused_shard.py) x is this shard's
+        # local lon chunk, so W-side geometry must not come from config
+        Hin, Win = x.shape[1], x.shape[2]
+        Ht, Wt = -(-Hin // p), Win // p
         Cin = x.shape[0]
         D = cfg.embed_dim
         fused = use_pallas() and not self.is_initializing()
         h = x.transpose(1, 2, 0)
-        h = jnp.pad(h, ((0, (-cfg.lat) % p), (0, 0), (0, 0)))
+        h = jnp.pad(h, ((0, (-Hin) % p), (0, 0), (0, 0)))
         if fused:
             # patch embed as ONE GEMM — XLA's strided conv on this
             # geometry costs ~12 ms/step in T(2,128) layout relayouts
@@ -197,11 +214,11 @@ class FuXiNet(nn.Module):
             y = h.reshape(Ht * Wt, D) @ wr.astype(h.dtype)
             y = y.reshape(Ht, Wt, p, p, Cout) + br.astype(h.dtype)
             y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, Cout)
-            h = y[: cfg.lat]
+            h = y[:Hin]
         else:
             h = nn.ConvTranspose(
                 Cout, (p, p), strides=(p, p), dtype=h.dtype, name="head"
-            )(h)[: cfg.lat]
+            )(h)[:Hin]
         return h.transpose(2, 0, 1)
 
 
@@ -209,6 +226,13 @@ class FuXiModel(PrognosticModel):
     name = "fuxi"
     channels = ch.FUXI
     n_history = 2
+    lon_manual = True  # whole-step shard_map path (parallel/fused_shard.py)
+
+    @property
+    def lon_shard_divisor(self) -> int:
+        # no patch merging: n lon shards only need to divide the token
+        # width (⟹ n | cfg.lon since lon = tokens·patch)
+        return self.cfg.tokens[1]
 
     def __init__(self, cfg: FuXiConfig | None = None):
         self.cfg = cfg or FuXiConfig()

@@ -176,6 +176,16 @@ class PanguBlock(nn.Module):
             hidden = int(self.dim * self.mlp_ratio)
             w1, b1 = DenseParams(hidden, name="Dense_0")(C)
             w2, b2 = DenseParams(self.dim, name="Dense_1")(hidden)
+            from skyrim_tpu.parallel import fused_shard as FS
+
+            if FS.current() is not None:
+                # lon-sharded manual region: the block runs on the local
+                # chunk with a ring cover gather; the shift folds into
+                # the cover offsets (parallel/fused_shard.py)
+                return FS.manual_swin_block(
+                    x, ln1, (qw, qb), bias, mask, (pw, pb), ln2,
+                    (w1, b1, w2, b2), win, self.heads, shift=shift,
+                )
             from skyrim_tpu.ops.roll import shift_roll
 
             h = shift_roll(x, shift, forward=True) if self.shifted else x
@@ -185,6 +195,12 @@ class PanguBlock(nn.Module):
             )
             return shift_roll(h, shift, forward=False) if self.shifted else h
 
+        from skyrim_tpu.parallel import fused_shard as _FS
+
+        assert _FS.current() is None, (
+            "lon-manual regions require the fused Pallas path "
+            "(set SKYRIM_FORCE_PALLAS=1 on CPU)"
+        )
         h = nn.LayerNorm(dtype=x.dtype)(x)
         if self.shifted:
             h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
@@ -367,7 +383,11 @@ class PanguNet(nn.Module):
         cfg = self.cfg
         pz, ph, pw = cfg.patch
         C = cfg.embed_dim
-        Ht, Wt = cfg.hw_tokens
+        # token extents from the ACTUAL input: inside a lon-manual
+        # shard_map region (parallel/fused_shard.py) x72 is this shard's
+        # local lon chunk, so W-side geometry must not come from config
+        Hin, Win = x72.shape[0], x72.shape[1]
+        Ht, Wt = -(-Hin // ph), Win // pw
         Zt = cfg.z_tokens
         L, Vl = cfg.levels, cfg.level_vars
         n_up = L * Vl
@@ -377,7 +397,7 @@ class PanguNet(nn.Module):
         if gw is None:
             gw = self.grand_weights()
 
-        xp = jnp.pad(x72, ((0, (-cfg.lat) % ph), (0, 0), (0, 0)))
+        xp = jnp.pad(x72, ((0, (-Hin) % ph), (0, 0), (0, 0)))
         p = xp.reshape(Ht, ph, Wt, pw, lanes).transpose(0, 2, 1, 3, 4)
         p = p.reshape(Ht * Wt, ph * pw * lanes)
         tok = p @ gw["Wg"].astype(dt)
@@ -410,7 +430,7 @@ class PanguNet(nn.Module):
         y = t @ gw["Wr"].astype(dt)
         y = y.reshape(Ht, Wt, ph, pw, Cout) + gw["bias_out"].astype(dt)
         y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * ph, Wt * pw, Cout)
-        return y[: cfg.lat]  # (H, W, n_upper + surface)
+        return y[:Hin]  # (H, W, n_upper + surface)
 
 
 class PanguModel(PrognosticModel):
@@ -423,6 +443,14 @@ class PanguModel(PrognosticModel):
     name = "pangu"
     channels = ch.PANGU
     n_history = 1
+    lon_manual = True  # whole-step shard_map path (parallel/fused_shard.py)
+
+    @property
+    def lon_shard_divisor(self) -> int:
+        # n lon shards must divide the half-resolution token width so the
+        # 2×2 patch merge (DownSample) stays local: n | Wt/2 ⟹ n | Wt,
+        # (Wt/n) even, and n | cfg.lon
+        return self.cfg.hw_tokens[1] // 2
 
     def __init__(self, variant: str = "pangu", cfg: PanguConfig | None = None):
         import datetime
@@ -477,8 +505,13 @@ class PanguModel(PrognosticModel):
 
     def _forward(self, net_params, params, x, gw=None):
         """One network evaluation on a (C, H, W) state."""
+        from skyrim_tpu.parallel import fused_shard as FS
+
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
-        consts = params["consts"].astype(self.compute_dtype)
+        # params are replicated; inside a lon-manual region the constant
+        # masks must be cut down to this shard's lon chunk
+        consts = FS.local_lon_slice(params["consts"], axis=-1)
+        consts = consts.astype(self.compute_dtype)
         x72 = jnp.concatenate([xn, consts], axis=0).transpose(1, 2, 0)
         y = self.module.apply({"params": net_params}, x72, gw)
         y = y.transpose(2, 0, 1).astype(jnp.float32)

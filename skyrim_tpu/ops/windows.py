@@ -25,10 +25,21 @@ Window3 = tuple[int, int, int]
 
 
 def pad_to_windows(x: jnp.ndarray, window: Window3) -> tuple[jnp.ndarray, tuple[int, int, int]]:
-    """Pad (Z, H, W, C) so each spatial dim divides its window size."""
+    """Pad (Z, H, W, C) so each spatial dim divides its window size.
+
+    Inside a lon-manual shard_map region (parallel/fused_shard.py) the W
+    dim is a *local* chunk of a periodic axis whose GLOBAL width already
+    divides the window — local padding would insert garbage into the
+    ring, so lon is never padded there (the cover gather handles window
+    misalignment at shard boundaries).
+    """
+    from skyrim_tpu.parallel import fused_shard as _FS
+
     Z, H, W, _ = x.shape
     wz, wh, ww = window
     pz, ph, pw = (-Z) % wz, (-H) % wh, (-W) % ww
+    if _FS.current() is not None:
+        pw = 0
     if pz or ph or pw:
         x = jnp.pad(x, ((0, pz), (0, ph), (0, pw), (0, 0)))
     return x, (pz, ph, pw)
