@@ -73,23 +73,42 @@ def legendre_matrix(nlat: int, lmax: int, mmax: int, costheta: np.ndarray) -> np
 
 
 class SHT:
-    """Spherical harmonic analysis/synthesis on an equiangular grid.
+    """Spherical harmonic analysis/synthesis on a latitude-ring grid.
 
     ``forward``: (..., nlat, nlon) real → (..., lmax, mmax) complex
     ``inverse``: (..., lmax, mmax) complex → (..., nlat, nlon) real
+
+    ``grid``:
+    - "equiangular": pole-inclusive θ = 0..π with Clenshaw–Curtis
+      quadrature (the 721-pt 0.25° product grid)
+    - "legendre-gauss": Gauss–Legendre nodes/weights (exact for the
+      band-limited case; the internal grid of the real fcnv2_sm, whose
+      torch-harmonics transforms use grid="legendre-gauss" between
+      blocks)
     """
 
     def __init__(self, nlat: int, nlon: int, lmax: int | None = None,
-                 mmax: int | None = None, dtype=jnp.float32):
+                 mmax: int | None = None, dtype=jnp.float32,
+                 grid: str = "equiangular"):
         self.nlat, self.nlon = nlat, nlon
         self.lmax = lmax or nlat
         self.mmax = mmax or min(self.lmax, nlon // 2 + 1)
         self.dtype = dtype
+        self.grid = grid
 
-        # pole-inclusive equiangular latitudes: θ = 0 .. π
-        theta = np.linspace(0, np.pi, nlat)
-        ct = np.cos(theta)
-        w = clenshaw_curtis_weights(nlat)  # dcosθ quadrature
+        if grid == "equiangular":
+            # pole-inclusive equiangular latitudes: θ = 0 .. π
+            theta = np.linspace(0, np.pi, nlat)
+            ct = np.cos(theta)
+            w = clenshaw_curtis_weights(nlat)  # dcosθ quadrature
+        elif grid == "legendre-gauss":
+            # Gauss nodes are x = cosθ ∈ (−1, 1), descending θ order to
+            # match the north→south latitude convention
+            x, w = np.polynomial.legendre.leggauss(nlat)
+            ct = x[::-1].copy()
+            w = w[::-1].copy()
+        else:
+            raise ValueError(f"unknown SHT grid {grid!r}")
         P = legendre_matrix(nlat, self.lmax, self.mmax, ct)  # (M, L, H)
 
         # analysis operator: includes quadrature weights and the 2π/nlon
@@ -135,5 +154,6 @@ class SHT:
 
 
 @lru_cache(maxsize=8)
-def get_sht(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None) -> SHT:
-    return SHT(nlat, nlon, lmax, mmax)
+def get_sht(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
+            grid: str = "equiangular") -> SHT:
+    return SHT(nlat, nlon, lmax, mmax, grid=grid)

@@ -315,35 +315,72 @@ def convert_dlwp(model, sd: Mapping):
     return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
 
 
+def _conv1x1_as_dense(sd: Mapping, prefix: str) -> dict:
+    """torch 1×1 Conv2d (O, I, 1, 1) → flax Dense (I, O)."""
+    out = {"kernel": _t(sd[f"{prefix}.weight"])[:, :, 0, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
 def convert_sfno(model, sd: Mapping):
-    """FourCastNet-v2 SFNO (fcnv2_sm layout: encoder/decoder convs,
-    blocks.{i}.{norm1,norm2,filter,mlp}, norm) → our tree (reference
-    wraps e2mip://fcnv2_sm, skyrim/core/models/fourcastnet_v2.py:36-37).
-    Spectral filter weights may arrive as separate real/imag arrays or a
-    stacked (2, L, 1, D) array."""
+    """FourCastNet-v2 SFNO → our tree, from the OFFICIAL fcnv2_sm
+    state-dict layout (the checkpoint the reference wraps via
+    e2mip://fcnv2_sm, skyrim/core/models/fourcastnet_v2.py:36-37; key
+    names as in the vendored NVIDIA sfnonet / ai-models-fourcastnetv2,
+    after stripping the DDP ``module.`` prefix):
+
+    - ``pos_embed`` (1, C, H, W)
+    - ``encoder.{0,2}.*`` / ``decoder.{0,2}.*`` — 1×1 conv stacks
+    - ``blocks.{i}.norm0.{weight,bias}`` / ``norm1`` — instance-norm affine
+    - ``blocks.{i}.filter.filter.w.{l}`` (C_l, C_{l+1}, 2) and
+      ``blocks.{i}.filter.filter.wout`` (hidden, C, 2) — the complex
+      channel-mixing spectral MLP (SpectralAttentionS2)
+    - ``blocks.{i}.inner_skip.{weight,bias}`` — 1×1 conv, present only on
+      resolution-preserving blocks
+    - ``blocks.{i}.mlp.fwd.{0,2}.*`` — 1×1 conv MLP
+
+    Normalization stats (global_means/global_stds .npy in the package,
+    not the state dict) may be passed as ``norm_mean``/``norm_std``
+    entries of ``sd``."""
     from skyrim_tpu.models.base import make_norm_params
 
     cfg = model.cfg
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
     net = {
-        "encoder": convert_conv2d(sd, "encoder"),
-        "decoder": convert_convtranspose2d(sd, "decoder"),
-        "LayerNorm_0": convert_layernorm(sd, "norm"),
+        "encoder_fc1": _conv1x1_as_dense(sd, "encoder.0"),
+        "encoder_fc2": _conv1x1_as_dense(sd, "encoder.2"),
+        "decoder_fc1": _conv1x1_as_dense(sd, "decoder.0"),
+        "decoder_fc2": _conv1x1_as_dense(sd, "decoder.2"),
     }
-    for i in range(cfg.num_blocks):
+    if cfg.use_pos_embed:
+        net["pos_embed"] = _t(sd["pos_embed"])[0].transpose(1, 2, 0)
+    for i in range(cfg.num_layers):
         p = f"blocks.{i}"
-        if f"{p}.filter.weight" in sd:
-            w = _t(sd[f"{p}.filter.weight"])
-            wr, wi = w[0], w[1]
-        else:
-            wr = _t(sd[f"{p}.filter.w_real"])
-            wi = _t(sd[f"{p}.filter.w_imag"])
-        net[f"block_{i}"] = {
-            "LayerNorm_0": convert_layernorm(sd, f"{p}.norm1"),
-            "LayerNorm_1": convert_layernorm(sd, f"{p}.norm2"),
-            "Dense_0": convert_linear(sd, f"{p}.mlp.fc1"),
-            "Dense_1": convert_linear(sd, f"{p}.mlp.fc2"),
-            "SpectralFilter_0": {"w_real": wr, "w_imag": wi},
+        filt = {
+            f"w{l}": _t(sd[f"{p}.filter.filter.w.{l}"])
+            for l in range(cfg.spectral_layers)
         }
+        filt["wout"] = _t(sd[f"{p}.filter.filter.wout"])
+        blk = {
+            "norm0_scale": _t(sd[f"{p}.norm0.weight"]),
+            "norm0_bias": _t(sd[f"{p}.norm0.bias"]),
+            "norm1_scale": _t(sd[f"{p}.norm1.weight"]),
+            "norm1_bias": _t(sd[f"{p}.norm1.bias"]),
+            "filter": filt,
+            "mlp_fc1": _conv1x1_as_dense(sd, f"{p}.mlp.fwd.0"),
+            "mlp_fc2": _conv1x1_as_dense(sd, f"{p}.mlp.fwd.2"),
+        }
+        has_skip = f"{p}.inner_skip.weight" in sd
+        if has_skip != cfg.has_skips(i):
+            raise ValueError(
+                f"fcnv2 block {i}: checkpoint {'has' if has_skip else 'lacks'} "
+                f"inner_skip but the architecture expects the opposite — "
+                f"config/checkpoint mismatch"
+            )
+        if has_skip:
+            blk["inner_skip"] = _conv1x1_as_dense(sd, f"{p}.inner_skip")
+        net[f"block_{i}"] = blk
     nc = cfg.in_channels
     return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
 

@@ -37,7 +37,7 @@ def test_ic_ensemble_forecast_contract(monkeypatch):
         def __init__(self):
             super().__init__(
                 SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8,
-                           num_blocks=1, scale_factor=4)
+                           num_layers=1, scale_factor=4)
             )
             self.channels = ("t2m", "u10m", "v10m")
 

@@ -38,7 +38,7 @@ def _sfno():
     from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
 
     return FourCastNetV2Model(
-        SFNOConfig(lat=65, lon=128, in_channels=5, embed_dim=32, num_blocks=2,
+        SFNOConfig(lat=65, lon=128, in_channels=5, embed_dim=32, num_layers=2,
                    scale_factor=4)
     )
 

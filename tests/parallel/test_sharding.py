@@ -67,7 +67,7 @@ def test_halo_pad_lon_periodic():
 def test_sharded_rollout_matches_single_device():
     from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
 
-    cfg = SFNOConfig(lat=33, lon=64, in_channels=4, embed_dim=16, num_blocks=2, scale_factor=4)
+    cfg = SFNOConfig(lat=33, lon=64, in_channels=4, embed_dim=16, num_layers=2, scale_factor=4)
     model = FourCastNetV2Model(cfg)
     params = model.init_params(jax.random.key(0))
     x0 = np.random.default_rng(0).normal(size=(1, 4, 33, 64)).astype(np.float32)
@@ -89,7 +89,7 @@ def test_sharded_rollout_matches_single_device():
 def test_dp_ensemble_rollout():
     from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
 
-    cfg = SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8, num_blocks=1, scale_factor=4)
+    cfg = SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8, num_layers=1, scale_factor=4)
     model = FourCastNetV2Model(cfg)
     params = model.init_params(jax.random.key(0))
     mesh = make_mesh(dp=4, lat=2, lon=1)

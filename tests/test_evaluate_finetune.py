@@ -108,7 +108,7 @@ def test_trainer_reduces_loss(tmp_path, monkeypatch):
     _make_dataset(tmp_path, n_slices=2, frames=4, nc=3)
     ds = FineTuneDataset(tmp_path, n_history=1, frames_out=1)
 
-    cfg = SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8, num_blocks=1, scale_factor=4)
+    cfg = SFNOConfig(lat=17, lon=32, in_channels=3, embed_dim=8, num_layers=1, scale_factor=4)
     model = FourCastNetV2Model(cfg)
     import jax
 

@@ -36,7 +36,7 @@ def _build(name):
             lat=49, lon=96, embed_dim=16, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2)))
     if name == "sfno":
         return FourCastNetV2Model(SFNOConfig(
-            lat=49, lon=96, in_channels=5, embed_dim=16, num_blocks=2, scale_factor=4))
+            lat=49, lon=96, in_channels=5, embed_dim=16, num_layers=2, scale_factor=4))
     if name == "afno":
         return FourCastNetModel(AFNOConfig(
             lat=48, lon=96, in_channels=5, patch=8, embed_dim=16, depth=2, num_blocks=2))

@@ -268,32 +268,90 @@ def test_dlwp_converter():
 
 
 def test_sfno_converter():
+    """Round-trips a synthetic state dict with the OFFICIAL fcnv2_sm key
+    names and shapes (module. prefix, pos_embed, encoder/decoder 1×1
+    conv stacks, blocks.i.filter.filter.w.l complex-MLP weights,
+    inner_skip only on resolution-preserving blocks)."""
     from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
 
-    cfg = SFNOConfig(lat=49, lon=96, in_channels=5, embed_dim=16, num_blocks=2,
-                     scale_factor=4)
+    cfg = SFNOConfig(lat=48, lon=96, in_channels=5, embed_dim=16,
+                     num_layers=3, scale_factor=4)
     model = FourCastNetV2Model(cfg)
     native = model.init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
     D = cfg.embed_dim
-    s = cfg.scale_factor
+    hidden = cfg.hidden_factor * D
     sd = {
-        "encoder.weight": _rng_like(rng, (D, cfg.in_channels, s, s)),
-        "encoder.bias": _rng_like(rng, (D,)),
-        "decoder.weight": _rng_like(rng, (D, cfg.in_channels, s, s)),
-        "decoder.bias": _rng_like(rng, (cfg.in_channels,)),
+        "module.pos_embed": _rng_like(rng, (1, D, cfg.lat, cfg.lon)),
+        "module.encoder.0.weight": _rng_like(rng, (D, cfg.in_channels, 1, 1)),
+        "module.encoder.0.bias": _rng_like(rng, (D,)),
+        "module.encoder.2.weight": _rng_like(rng, (D, D, 1, 1)),
+        "module.decoder.0.weight": _rng_like(
+            rng, (D, D + cfg.in_channels, 1, 1)
+        ),
+        "module.decoder.0.bias": _rng_like(rng, (D,)),
+        "module.decoder.2.weight": _rng_like(rng, (cfg.in_channels, D, 1, 1)),
     }
-    _ln_sd(sd, rng, "norm", D)
-    L = native["net"]["block_0"]["SpectralFilter_0"]["w_real"].shape[0]
-    for i in range(cfg.num_blocks):
-        p = f"blocks.{i}"
-        _ln_sd(sd, rng, f"{p}.norm1", D)
-        _ln_sd(sd, rng, f"{p}.norm2", D)
-        sd[f"{p}.filter.weight"] = _rng_like(rng, (2, L, 1, D))
-        _linear_sd(sd, rng, f"{p}.mlp.fc1", D, 2 * D)
-        _linear_sd(sd, rng, f"{p}.mlp.fc2", 2 * D, D)
+    for i in range(cfg.num_layers):
+        p = f"module.blocks.{i}"
+        for nm in ("norm0", "norm1"):
+            sd[f"{p}.{nm}.weight"] = _rng_like(rng, (D,))
+            sd[f"{p}.{nm}.bias"] = _rng_like(rng, (D,))
+        dims = [D] + [hidden] * cfg.spectral_layers
+        for l in range(cfg.spectral_layers):
+            sd[f"{p}.filter.filter.w.{l}"] = _rng_like(
+                rng, (dims[l], dims[l + 1], 2)
+            )
+        sd[f"{p}.filter.filter.wout"] = _rng_like(rng, (hidden, D, 2))
+        if cfg.has_skips(i):
+            sd[f"{p}.inner_skip.weight"] = _rng_like(rng, (D, D, 1, 1))
+            sd[f"{p}.inner_skip.bias"] = _rng_like(rng, (D,))
+        sd[f"{p}.mlp.fwd.0.weight"] = _rng_like(rng, (2 * D, D, 1, 1))
+        sd[f"{p}.mlp.fwd.0.bias"] = _rng_like(rng, (2 * D,))
+        sd[f"{p}.mlp.fwd.2.weight"] = _rng_like(rng, (D, 2 * D, 1, 1))
+        sd[f"{p}.mlp.fwd.2.bias"] = _rng_like(rng, (D,))
     converted = convert.convert_sfno(model, sd)
     _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_sfno_converter_rejects_skip_mismatch():
+    """A checkpoint whose inner_skip placement disagrees with the
+    architecture must fail loudly, not load silently wrong."""
+    from skyrim_tpu.models.sfno import FourCastNetV2Model, SFNOConfig
+
+    cfg = SFNOConfig(lat=48, lon=96, in_channels=5, embed_dim=16,
+                     num_layers=3, scale_factor=4)
+    model = FourCastNetV2Model(cfg)
+    rng = np.random.default_rng(0)
+    D = cfg.embed_dim
+    hidden = cfg.hidden_factor * D
+    sd = {
+        "pos_embed": _rng_like(rng, (1, D, cfg.lat, cfg.lon)),
+        "encoder.0.weight": _rng_like(rng, (D, cfg.in_channels, 1, 1)),
+        "encoder.0.bias": _rng_like(rng, (D,)),
+        "encoder.2.weight": _rng_like(rng, (D, D, 1, 1)),
+        "decoder.0.weight": _rng_like(rng, (D, D + cfg.in_channels, 1, 1)),
+        "decoder.0.bias": _rng_like(rng, (D,)),
+        "decoder.2.weight": _rng_like(rng, (cfg.in_channels, D, 1, 1)),
+    }
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}"
+        for nm in ("norm0", "norm1"):
+            sd[f"{p}.{nm}.weight"] = _rng_like(rng, (D,))
+            sd[f"{p}.{nm}.bias"] = _rng_like(rng, (D,))
+        dims = [D] + [hidden] * cfg.spectral_layers
+        for l in range(cfg.spectral_layers):
+            sd[f"{p}.filter.filter.w.{l}"] = _rng_like(rng, (dims[l], dims[l + 1], 2))
+        sd[f"{p}.filter.filter.wout"] = _rng_like(rng, (hidden, D, 2))
+        # wrong: inner_skip on EVERY block including block 0
+        sd[f"{p}.inner_skip.weight"] = _rng_like(rng, (D, D, 1, 1))
+        sd[f"{p}.inner_skip.bias"] = _rng_like(rng, (D,))
+        sd[f"{p}.mlp.fwd.0.weight"] = _rng_like(rng, (2 * D, D, 1, 1))
+        sd[f"{p}.mlp.fwd.0.bias"] = _rng_like(rng, (2 * D,))
+        sd[f"{p}.mlp.fwd.2.weight"] = _rng_like(rng, (D, 2 * D, 1, 1))
+        sd[f"{p}.mlp.fwd.2.bias"] = _rng_like(rng, (D,))
+    with pytest.raises(ValueError, match="inner_skip"):
+        convert.convert_sfno(model, sd)
 
 
 def test_graphcast_converter():
