@@ -78,6 +78,17 @@ def main() -> None:
     n_frames = n_long
     vs_baseline = 120.0 / ten_day_s  # reference claim: forecast < 2 min
 
+    # roofline honesty anchor: MFU / %-of-HBM-roof from XLA's cost model
+    # (the Modal marketing claim stays in vs_baseline for the driver's
+    # schema, but distance-to-speed-of-light is the number that matters)
+    try:
+        from skyrim_tpu.utils.roofline import roofline, step_cost
+
+        flops, bytes_ = step_cost(model, params, state0)
+        roof = roofline(per_step, flops, bytes_)
+    except Exception as e:  # pragma: no cover - cost model availability
+        roof = {"error": str(e)[:120]}
+
     print(
         json.dumps(
             {
@@ -94,6 +105,7 @@ def main() -> None:
                     "ten_day_rollout_s": round(ten_day_s, 2),
                     "grid": [H, W, len(model.channels)],
                     "device": str(jax.devices()[0]),
+                    "roofline": roof,
                 },
             }
         )

@@ -21,6 +21,10 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
 
     model = MODELS[name]() if name != "pangu" else MODELS[name]("pangu6")
     params = model.init_params(jax.random.key(0))
+    if hasattr(model, "trim_stages"):
+        # cascade models: keep only stages an n_steps rollout reaches
+        # (a 16 GB chip holds one ~1.4 B stage comfortably, not three)
+        params = model.trim_stages(params, n_steps)
     x0 = np.zeros(model.state_shape, np.float32)
     state0 = jax.tree.map(jnp.asarray, model.init_state(params, x0))
 
@@ -46,6 +50,13 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
     t_short, n_short = timed(max(n_steps // 4, 1))
     per_step = max((t_long - t_short) / max(n_long - n_short, 1), 1e-9)
     H, W = model.grid.shape
+    try:
+        from skyrim_tpu.utils.roofline import roofline, step_cost
+
+        flops, bytes_ = step_cost(model, params, state0)
+        roof = roofline(per_step, flops, bytes_)
+    except Exception as e:
+        roof = {"error": str(e)[:120]}
     return {
         "model": name,
         "step_wall_s": round(per_step, 4),
@@ -53,6 +64,7 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
         "ten_day_s": round(per_step * TEN_DAY_STEPS, 2),
         "params_m": round(model.param_count(params) / 1e6, 1),
         "grid": [H, W, len(model.channels)],
+        "roofline": roof,
     }
 
 

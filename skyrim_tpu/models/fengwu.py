@@ -34,15 +34,23 @@ from skyrim_tpu.models.fuxi import SwinBlock2D
 
 @dataclasses.dataclass(frozen=True)
 class FengWuConfig:
+    """Production capacity (Chen et al. 2023, arXiv:2304.02948): one
+    modal encoder per variable group (surface + z/q/u/v/t) feeding a
+    cross-modal window-attention fuser; the paper publishes the
+    structure but no parameter count, so widths are scaled to the
+    released ONNX artifact class (~260 M params; derivation and
+    deviations in ARCH_FIDELITY.md).  Reduced values serve the test
+    tier."""
+
     lat: int = 721
     lon: int = 1440
     levels: int = 13
     surface_channels: int = 4
     level_vars: int = 5  # z, q, u, v, t
-    modal_dim: int = 96
-    fuser_dim: int = 576  # 6 modalities × modal_dim
-    depth: int = 8
-    num_heads: int = 8
+    modal_dim: int = 192
+    fuser_dim: int = 1152  # 6 modalities × modal_dim
+    depth: int = 16
+    num_heads: int = 18  # head_dim 64 (MXU-friendly)
     window: tuple[int, int] = (6, 12)
     patch: int = 4
 

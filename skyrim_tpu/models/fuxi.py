@@ -36,16 +36,28 @@ from skyrim_tpu.ops import windows as W
 
 @dataclasses.dataclass(frozen=True)
 class FuXiConfig:
+    """Published capacity (Chen et al. 2023, arXiv:2306.12873): the
+    U-Transformer runs 48 Swin blocks at width 1536 on a 2×-downsampled
+    token grid, between a cube embedding (patch 4) and an upsample with
+    skip connection — ≈1.4 B parameters per cascade stage (the paper
+    quotes ~1.5 B; see ARCH_FIDELITY.md for the derivation and
+    deviations).  Reduced values are used by the test tier."""
+
     lat: int = 721
     lon: int = 1440
     in_channels: int = 70
-    embed_dim: int = 512
-    depth: int = 12
-    num_heads: int = 8
+    embed_dim: int = 1536  # transformer width (U-trunk)
+    depth: int = 48
+    num_heads: int = 24  # head_dim 64 (MXU-friendly)
     window: tuple[int, int] = (6, 12)
     patch: int = 4  # cube-embed spatial downsample
     n_stages: int = 3  # short / medium / long
     stage_steps: int = 20  # 5 days of 6h steps per stage
+
+    @property
+    def cube_dim(self) -> int:
+        """Width at cube-embed resolution (the U skip level)."""
+        return self.embed_dim // 2
 
     @property
     def tokens(self) -> tuple[int, int]:
@@ -163,6 +175,13 @@ class SwinBlock2D(nn.Module):
 
 
 class FuXiNet(nn.Module):
+    """U-Transformer: cube embed (patch p, width D/2) → 2×2 patch-merge
+    down (width D) → ``depth`` Swin blocks → patch-expand up (width D/2)
+    + skip concat → head.  Down/up are single GEMMs (SwinUNet-style
+    patch merge/expand) rather than strided convs — the TPU-native
+    formulation of the paper's U-Net down/up blocks (deviation noted in
+    ARCH_FIDELITY.md)."""
+
     cfg: FuXiConfig
 
     @nn.compact
@@ -179,6 +198,7 @@ class FuXiNet(nn.Module):
         Ht, Wt = -(-Hin // p), Win // p
         Cin = x.shape[0]
         D = cfg.embed_dim
+        Dc = cfg.cube_dim
         fused = use_pallas() and not self.is_initializing()
         h = x.transpose(1, 2, 0)
         h = jnp.pad(h, ((0, (-Hin) % p), (0, 0), (0, 0)))
@@ -188,30 +208,49 @@ class FuXiNet(nn.Module):
             # (measured with utils/op_stats); the kernel reshape is free
             # and scan-invariant.  Same math as nn.Conv (correlation,
             # stride = kernel = p).
-            k, b = ConvParams((p, p, Cin, D), name="cube_embed")()
+            k, b = ConvParams((p, p, Cin, Dc), name="cube_embed")()
             pt = h.reshape(Ht, p, Wt, p, Cin).transpose(0, 2, 1, 3, 4)
             pt = pt.reshape(Ht * Wt, p * p * Cin)
-            h = pt @ k.reshape(p * p * Cin, D).astype(h.dtype)
-            h = (h + b.astype(h.dtype)).reshape(Ht, Wt, D)
+            h = pt @ k.reshape(p * p * Cin, Dc).astype(h.dtype)
+            h = (h + b.astype(h.dtype)).reshape(Ht, Wt, Dc)
         else:
-            h = nn.Conv(D, (p, p), strides=(p, p), dtype=h.dtype,
+            h = nn.Conv(Dc, (p, p), strides=(p, p), dtype=h.dtype,
                         name="cube_embed")(h)
-        skip = h
-        hp = jnp.pad(h, ((0, (-Ht) % cfg.window[0]), (0, 0), (0, 0)))
+        skip = h  # (Ht, Wt, D/2)
+
+        # -- down: 2×2 patch merge to the U-trunk width -------------------
+        He = Ht + (Ht % 2)  # even lat extent for the merge
+        hd = jnp.pad(h, ((0, He - Ht), (0, 0), (0, 0)))
+        Hd, Wd = He // 2, Wt // 2
+        hd = hd.reshape(Hd, 2, Wd, 2, Dc).transpose(0, 2, 1, 3, 4)
+        hd = hd.reshape(Hd, Wd, 4 * Dc)
+        hd = nn.LayerNorm(dtype=hd.dtype, name="down_norm")(hd)
+        hd = nn.Dense(D, use_bias=False, dtype=hd.dtype, name="down")(hd)
+
+        hp = jnp.pad(hd, ((0, (-Hd) % cfg.window[0]), (0, 0), (0, 0)))
         for i in range(cfg.depth):
             hp = SwinBlock2D(
                 cfg.embed_dim, cfg.num_heads, cfg.window,
-                shifted=(i % 2 == 1), valid_h=Ht, name=f"block_{i}",
+                shifted=(i % 2 == 1), valid_h=Hd, name=f"block_{i}",
             )(hp)
-        h = hp[:Ht] + skip
+        hd = hp[:Hd]
+
+        # -- up: patch expand + skip concat --------------------------------
+        hu = nn.Dense(4 * Dc, use_bias=False, dtype=hd.dtype, name="up")(hd)
+        hu = hu.reshape(Hd, Wd, 2, 2, Dc).transpose(0, 2, 1, 3, 4)
+        hu = hu.reshape(He, Wt, Dc)[:Ht]
+        hu = nn.LayerNorm(dtype=hu.dtype, name="up_norm")(hu)
+        h = jnp.concatenate([hu, skip], axis=-1)  # (Ht, Wt, D)
+        h = nn.Dense(Dc, dtype=h.dtype, name="fuse")(h)
+
         Cout = cfg.in_channels
         if fused:
             # patch recovery as one GEMM; flax ConvTranspose applies the
             # kernel spatially flipped (models/pangu.py grand_weights),
             # so flip here and converted checkpoints keep their layout
-            kr, br = ConvParams((p, p, D, Cout), name="head")()
-            wr = kr[::-1, ::-1].transpose(2, 0, 1, 3).reshape(D, p * p * Cout)
-            y = h.reshape(Ht * Wt, D) @ wr.astype(h.dtype)
+            kr, br = ConvParams((p, p, Dc, Cout), name="head")()
+            wr = kr[::-1, ::-1].transpose(2, 0, 1, 3).reshape(Dc, p * p * Cout)
+            y = h.reshape(Ht * Wt, Dc) @ wr.astype(h.dtype)
             y = y.reshape(Ht, Wt, p, p, Cout) + br.astype(h.dtype)
             y = y.transpose(0, 2, 1, 3, 4).reshape(Ht * p, Wt * p, Cout)
             h = y[:Hin]
@@ -230,9 +269,9 @@ class FuXiModel(PrognosticModel):
 
     @property
     def lon_shard_divisor(self) -> int:
-        # no patch merging: n lon shards only need to divide the token
-        # width (⟹ n | cfg.lon since lon = tokens·patch)
-        return self.cfg.tokens[1]
+        # n lon shards must divide the HALF-resolution token width so
+        # the U-trunk's 2×2 patch merge/expand stays shard-local
+        return self.cfg.tokens[1] // 2
 
     def __init__(self, cfg: FuXiConfig | None = None):
         self.cfg = cfg or FuXiConfig()
@@ -246,10 +285,24 @@ class FuXiModel(PrognosticModel):
         dummy = jnp.zeros((self.n_history * nc, self.cfg.lat, self.cfg.lon), jnp.float32)
         init = jax.jit(self.module.init)
         ks = jax.random.split(rng, self.cfg.n_stages)
+        # store weights bf16 at rest: compute is bf16 (weights are cast
+        # at use sites, so this rounds once either way) and fp32
+        # residency for three ~1.4 B stages would not fit a 16 GB chip
+        to_bf16 = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+        )
         return {
-            "stages": [init(k, dummy)["params"] for k in ks],
+            "stages": [to_bf16(init(k, dummy)["params"]) for k in ks],
             "norm": make_norm_params(nc),
         }
+
+    def trim_stages(self, params, n_steps: int):
+        """Drop cascade stages a rollout of ``n_steps`` can never reach —
+        the device then holds only the needed stage weights (the
+        TPU-native counterpart of the reference's sequential load/release
+        swapping, ensemble.py:40-49)."""
+        k = max(1, min(-(-n_steps // self.cfg.stage_steps), self.cfg.n_stages))
+        return {**params, "stages": list(params["stages"][:k])}
 
     def _forward(self, net_params, params, x):
         nc = self.cfg.in_channels
@@ -263,13 +316,19 @@ class FuXiModel(PrognosticModel):
         return self._forward(params["stages"][0], params, x)[None]
 
     def advance(self, params, state: ModelState):
-        """Cascade: pick the stage net by forecast step (short/medium/long)."""
-        stage = jnp.minimum(state.step // self.cfg.stage_steps, self.cfg.n_stages - 1)
-        branches = [
-            (lambda p: (lambda _: self._forward(p, params, state.x)))(p)
-            for p in params["stages"]
-        ]
-        y = jax.lax.switch(stage, branches, None)
+        """Cascade: pick the stage net by forecast step (short/medium/long).
+        Honors ``trim_stages``-reduced trees (clamps to what's present);
+        a single resident stage skips the switch entirely."""
+        n_res = len(params["stages"])
+        if n_res == 1:
+            y = self._forward(params["stages"][0], params, state.x)
+        else:
+            stage = jnp.minimum(state.step // self.cfg.stage_steps, n_res - 1)
+            branches = [
+                (lambda p: (lambda _: self._forward(p, params, state.x)))(p)
+                for p in params["stages"]
+            ]
+            y = jax.lax.switch(stage, branches, None)
         new_x = jnp.concatenate([state.x, y[None]], axis=0)[-self.n_history:]
         new_state = state.replace(
             x=new_x,

@@ -299,13 +299,20 @@ def _fused_swin_block_impl(
     isz = x.dtype.itemsize
     weights_b = (qw.size + pw.size + w1.size + w2.size) * isz
     tw_env = os.environ.get("SKYRIM_ATTN_TW")
-    tw = 1
+    tw = None
     if tw_env and nw % int(tw_env) == 0:
         tw = int(tw_env)
     else:
         # same tile heuristic as fused_window_attention_4d, with the MLP
-        # intermediate and resident weights added to the VMEM budget
-        for cand in (10, 8, 12, 6, 16, 4, 15, 30, 32, 5, 3, 2):
+        # intermediate and resident weights added to the VMEM budget.
+        # Wide trunks (FuXi's C=1536 → ~57 MiB of resident weights alone)
+        # cannot keep the whole block in VMEM — measured: the kernel then
+        # runs minutes/step vs ~0.5 s on the XLA path, so they take the
+        # graceful fallback below (at that width the block is MXU-bound
+        # and XLA's GEMM pipeline is the right tool; the fused kernel's
+        # HBM-pass savings only matter for bandwidth-bound widths).
+        budget = int(os.environ.get("SKYRIM_ATTN_VMEM_MB", "48")) * 2**20
+        for cand in (10, 8, 12, 6, 16, 4, 15, 30, 32, 5, 3, 2, 1):
             io_b = cand * wlen * 2 * C * isz * 2  # x + out, double-buffered
             qkv_b = cand * wlen * 3 * C * isz
             mlp_b = cand * wlen * hidden * isz
@@ -314,11 +321,16 @@ def _fused_swin_block_impl(
             legal = (cand * ww) % 8 == 0 or cand == nw
             waste_ok = cand <= nw and ((-nw) % cand) * 4 <= nw  # ≤25% waste
             if legal and waste_ok and (
-                io_b + qkv_b + mlp_b + scores_b + bias_b + weights_b
-                < 48 * 2**20
+                io_b + qkv_b + mlp_b + scores_b + bias_b + weights_b < budget
             ):
                 tw = cand
                 break
+    if tw is None:
+        # no legal lon tile fits VMEM for this geometry — run the XLA
+        # composition instead of crashing in the Mosaic lowering
+        return reference_swin_block(
+            x, ln1, qkv_wb, bias, mask, proj_wb, ln2, mlp_wb, window, heads
+        )
     ntw = -(-nw // tw)
 
     def const(*_):

@@ -1,0 +1,91 @@
+"""Roofline accounting: MFU and %-of-HBM-roof for a model step.
+
+The north star is "every hot kernel at speed-of-light per chip"
+(BASELINE.md); a raw pts/s number can't show distance from that.  This
+module pins each model's step to the hardware roofline:
+
+- FLOPs/bytes come from XLA's own cost model (``compiled.cost_analysis``)
+  of the step lowered on the PURE-XLA path (``xla_fallback`` — Pallas
+  custom calls are opaque to the cost model, the XLA composition of the
+  same math is not).  Bytes are therefore an upper bound for the fused
+  path (the fused kernels exist precisely to cut HBM passes).
+- Peaks are per device kind, overridable via ``SKYRIM_PEAK_TFLOPS`` /
+  ``SKYRIM_PEAK_HBM_GBS`` for hardware not in the table.
+
+MFU = flops / (wall × peak_flops); hbm_roof = bytes / (wall × peak_bw).
+A step is at speed-of-light when max(MFU, hbm_roof) → 100%.
+"""
+
+from __future__ import annotations
+
+import os
+
+# device kind prefix → (bf16 FLOP/s, HBM bytes/s)
+_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),  # v5e / v5 lite
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6": (918e12, 1640e9),  # Trillium
+}
+
+
+def device_peaks(device=None) -> tuple[float, float]:
+    """(peak_flops, peak_hbm_bytes_per_s) for the given (default first)
+    jax device; env overrides win."""
+    import jax
+
+    tf = os.environ.get("SKYRIM_PEAK_TFLOPS")
+    bw = os.environ.get("SKYRIM_PEAK_HBM_GBS")
+    if tf and bw:
+        return float(tf) * 1e12, float(bw) * 1e9
+    kind = str(
+        getattr(device or jax.devices()[0], "device_kind", device or jax.devices()[0])
+    )
+    for prefix, peaks in _PEAKS.items():
+        if kind.startswith(prefix) or prefix in kind:
+            return (
+                float(tf) * 1e12 if tf else peaks[0],
+                float(bw) * 1e9 if bw else peaks[1],
+            )
+    # unknown hardware: fall back to v5e-class so ratios stay meaningful
+    return (
+        float(tf) * 1e12 if tf else _PEAKS["TPU v5 lite"][0],
+        float(bw) * 1e9 if bw else _PEAKS["TPU v5 lite"][1],
+    )
+
+
+def step_cost(model, params, state) -> tuple[float, float]:
+    """(flops, bytes_accessed) of one ``advance`` per XLA's cost model.
+
+    Lowers on the pure-XLA path so Pallas custom calls don't hide FLOPs
+    from the analysis; numerically the same math as the fused step.
+    """
+    import jax
+
+    from skyrim_tpu.ops.flash_window_attention import xla_fallback
+
+    with xla_fallback():
+        compiled = jax.jit(model.advance).lower(params, state).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    bytes_ = float(ca.get("bytes accessed", 0.0))
+    return flops, bytes_
+
+
+def roofline(step_wall_s: float, flops: float, bytes_: float, device=None) -> dict:
+    """MFU / HBM-roof percentages for a measured step time."""
+    peak_f, peak_b = device_peaks(device)
+    mfu = flops / (step_wall_s * peak_f) if step_wall_s > 0 else 0.0
+    hbm = bytes_ / (step_wall_s * peak_b) if step_wall_s > 0 else 0.0
+    return {
+        "flops_g": round(flops / 1e9, 1),
+        "bytes_gb": round(bytes_ / 2**30, 2),
+        "mfu_pct": round(100 * mfu, 1),
+        "hbm_roof_pct": round(100 * hbm, 1),
+        "bound": "compute" if mfu >= hbm else "memory",
+        "peak_tflops": round(peak_f / 1e12, 1),
+        "peak_hbm_gbs": round(peak_b / 1e9, 1),
+    }

@@ -142,12 +142,21 @@ def _swin_block(sd: Mapping, p: str, window: tuple[int, int]) -> dict:
 
 
 def convert_torch_file(model, path: str | Path):
-    """Dispatch by model name; expects a torch-loadable state dict."""
-    import torch
+    """Dispatch by model name; accepts a torch-loadable state dict OR an
+    ONNX artifact (.onnx — the distribution format of Pangu/FuXi/FengWu,
+    reference pangu.py:45-46): initializers are read straight from the
+    protobuf (weights/onnx_io.py), no onnxruntime or pre-export step."""
+    path = Path(path)
+    if path.suffix.lower() == ".onnx":
+        from skyrim_tpu.weights.onnx_io import read_onnx_initializers
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+        sd = read_onnx_initializers(path)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
     logger.info("converting %d tensors for %s", len(sd), model.name)
     converter = CONVERTERS.get(model.name)
     if converter is None:
@@ -445,6 +454,11 @@ def convert_fuxi(model, sd: Mapping):
         st = {
             "cube_embed": convert_conv2d(sd, f"{pre}.cube_embed"),
             "head": convert_convtranspose2d(sd, f"{pre}.head"),
+            "down_norm": convert_layernorm(sd, f"{pre}.down_norm"),
+            "down": convert_linear(sd, f"{pre}.down"),
+            "up": convert_linear(sd, f"{pre}.up"),
+            "up_norm": convert_layernorm(sd, f"{pre}.up_norm"),
+            "fuse": convert_linear(sd, f"{pre}.fuse"),
         }
         for i in range(cfg.depth):
             st[f"block_{i}"] = _swin_block(sd, f"{pre}.blocks.{i}", cfg.window)

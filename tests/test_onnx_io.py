@@ -1,0 +1,101 @@
+"""Unit tests for the raw-protobuf ONNX reader (weights/onnx_io.py)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from skyrim_tpu.weights import onnx_io
+
+
+def test_roundtrip_dtypes():
+    tensors = {
+        "w_f32": np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32),
+        "w_f16": np.arange(6, dtype=np.float16).reshape(2, 3),
+        "w_i64": np.arange(5, dtype=np.int64) - 2,
+        "scalar": np.float32(3.25).reshape(()),
+    }
+    data = onnx_io.build_onnx(tensors)
+    out = onnx_io.read_onnx_initializers_from_bytes(data)
+    assert set(out) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(out[k], tensors[k])
+        assert out[k].dtype == tensors[k].dtype
+
+
+def test_bfloat16_raw_data_upcasts():
+    # bf16 = top 16 bits of f32
+    f32 = np.asarray([1.5, -2.0, 0.15625], np.float32)
+    bf16_bits = (f32.view(np.uint32) >> 16).astype(np.uint16)
+    body = b"".join(onnx_io._tag(1, 0) + onnx_io._varint(d) for d in (3,))
+    body += onnx_io._tag(2, 0) + onnx_io._varint(16)  # BFLOAT16
+    body += onnx_io._len_field(8, b"w")
+    body += onnx_io._len_field(9, bf16_bits.tobytes())
+    graph = onnx_io._len_field(5, body)
+    model = onnx_io._len_field(7, graph)
+    out = onnx_io.read_onnx_initializers_from_bytes(model)
+    np.testing.assert_array_equal(out["w"], f32)
+
+
+def test_float_data_field():
+    # exporters sometimes use float_data (packed field 4) instead of raw
+    vals = [1.0, 2.5, -3.0, 4.0]
+    packed = struct.pack(f"<{len(vals)}f", *vals)
+    body = onnx_io._tag(1, 0) + onnx_io._varint(2)
+    body += onnx_io._tag(1, 0) + onnx_io._varint(2)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(1)
+    body += onnx_io._len_field(8, b"w")
+    body += onnx_io._len_field(4, packed)
+    model = onnx_io._len_field(7, onnx_io._len_field(5, body))
+    out = onnx_io.read_onnx_initializers_from_bytes(model)
+    np.testing.assert_array_equal(out["w"], np.asarray(vals, np.float32).reshape(2, 2))
+
+
+def test_external_data(tmp_path):
+    arr = np.random.default_rng(1).normal(size=(4, 5)).astype(np.float32)
+    blob = tmp_path / "weights.bin"
+    pad = b"\x00" * 16
+    blob.write_bytes(pad + arr.tobytes())
+
+    def entry(k, v):
+        return onnx_io._len_field(
+            13, onnx_io._len_field(1, k.encode()) + onnx_io._len_field(2, v.encode())
+        )
+
+    body = b"".join(onnx_io._tag(1, 0) + onnx_io._varint(d) for d in arr.shape)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(1)
+    body += onnx_io._len_field(8, b"big")
+    body += entry("location", "weights.bin")
+    body += entry("offset", "16")
+    body += entry("length", str(arr.nbytes))
+    body += onnx_io._tag(14, 0) + onnx_io._varint(1)  # data_location EXTERNAL
+    model = onnx_io._len_field(7, onnx_io._len_field(5, body))
+    path = tmp_path / "model.onnx"
+    path.write_bytes(model)
+    out = onnx_io.read_onnx_initializers(path)
+    np.testing.assert_array_equal(out["big"], arr)
+
+
+def test_constant_node():
+    arr = np.asarray([7.0, 8.0], np.float32)
+    tensor = onnx_io._tensor_proto("", arr)
+    attr = onnx_io._len_field(1, b"value") + onnx_io._len_field(5, tensor)
+    node = (
+        onnx_io._len_field(2, b"const_out")
+        + onnx_io._len_field(4, b"Constant")
+        + onnx_io._len_field(5, attr)
+    )
+    # graph with one node and one regular initializer
+    init = onnx_io._tensor_proto("w", np.zeros((2,), np.float32))
+    graph = onnx_io._len_field(1, node) + onnx_io._len_field(5, init)
+    model = onnx_io._len_field(7, graph)
+    out = onnx_io.read_onnx_initializers_from_bytes(model)
+    np.testing.assert_array_equal(out["const_out"], arr)
+    assert "w" in out
+
+
+def test_not_onnx_raises(tmp_path):
+    p = tmp_path / "junk.onnx"
+    p.write_bytes(b"\x0a\x04none")
+    with pytest.raises(ValueError):
+        onnx_io.read_onnx_initializers(p)
