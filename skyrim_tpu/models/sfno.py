@@ -36,15 +36,13 @@ dims in fp32.  Everything is XLA-fusable; under a >1-device mesh GSPMD
 partitions the Legendre/spectral matmuls with all-to-alls (the intended
 multi-chip design for global token mixing — parallel/sharding.py).
 
-Offline-parity caveat (no egress in this environment): the converter
-(weights/convert.py:convert_sfno) targets the official state-dict key
-names/shapes as published in the vendored sfnonet; the Legendre
-normalization matches torch-harmonics' orthonormal convention, but the
-Condon–Shortley phase convention could not be cross-checked against a
-live torch-harmonics — per-(l,m) phase differences do NOT cancel through
-the ComplexReLU, so first real-checkpoint load must A/B the sign
-convention (flip: multiply odd-m rows of ops/sht.py's legendre_matrix
-by −1).
+Phase convention: the converter (weights/convert.py:convert_sfno)
+targets the official state-dict key names/shapes as published in the
+vendored sfnonet; ops/sht.py's Legendre tables are pinned row-by-row
+against ``scipy.special.sph_harm_y`` — the standard orthonormal
+spherical harmonics WITH the Condon–Shortley phase, the same convention
+torch-harmonics uses — in tests/ops/test_sht.py::test_matches_scipy_sph_harm
+(max deviation ~4e-15 on both grid types).
 """
 
 from __future__ import annotations

@@ -11,9 +11,11 @@ format of the two messages that matter:
 - ``GraphProto.initializer`` (field 5, repeated ``TensorProto``) and
   ``GraphProto.node`` (field 1) Constant nodes carrying a tensor
   attribute (some exporters store weights that way)
-- ``TensorProto``: dims (1), data_type (2), float_data (4), name (8),
-  raw_data (9), double_data (10 — unused), external_data (13) +
-  data_location (14) for the >2 GB external-data layout big exports use
+- ``TensorProto``: dims (1), data_type (2), float_data (4),
+  int32_data (5 — packed storage for fp16/bf16/int8/uint8/bool/int32),
+  int64_data (7), name (8), raw_data (9), double_data (10),
+  uint64_data (11), external_data (13) + data_location (14) for the
+  >2 GB external-data layout big exports use
 
 Only reading is production; :func:`build_onnx` writes a minimal model
 (initializers only) so tests can round-trip synthetic artifacts.
@@ -108,6 +110,9 @@ def _parse_tensor(buf: memoryview, base_dir: Path | None):
     raw = None
     float_data: list[float] = []
     int_data: list[int] = []
+    int32_data: list[int] = []
+    double_data: list[float] = []
+    uint64_data: list[int] = []
     external: dict[str, str] = {}
     location = 0
     for field, wire, val in _fields(buf):
@@ -125,11 +130,31 @@ def _parse_tensor(buf: memoryview, base_dir: Path | None):
                 float_data.extend(
                     struct.unpack(f"<{len(val) // 4}f", bytes(val))
                 )
+        elif field == 5:  # int32_data — standard non-raw storage for
+            # int32/int16/int8/uint8/bool/float16/bfloat16 initializers
+            if wire == 0:
+                int32_data.append(_zigzag_signed(val, 32))
+            else:
+                int32_data.extend(
+                    _zigzag_signed(v, 32) for v in _parse_packed_varints(val)
+                )
         elif field == 7:  # int64_data
             if wire == 0:
                 int_data.append(_zigzag_signed(val))
             else:
                 int_data.extend(_zigzag_signed(v) for v in _parse_packed_varints(val))
+        elif field == 10:  # double_data
+            if wire == 1:
+                double_data.append(struct.unpack("<d", bytes(val))[0])
+            elif wire == 2:
+                double_data.extend(
+                    struct.unpack(f"<{len(val) // 8}d", bytes(val))
+                )
+        elif field == 11:  # uint64_data
+            if wire == 0:
+                uint64_data.append(val)
+            else:
+                uint64_data.extend(_parse_packed_varints(val))
         elif field == 8 and wire == 2:
             name = bytes(val).decode("utf-8")
         elif field == 9 and wire == 2:
@@ -171,6 +196,35 @@ def _parse_tensor(buf: memoryview, base_dir: Path | None):
         arr = np.asarray(float_data, np.float32)
     elif int_data:
         arr = np.asarray(int_data, _DTYPES.get(data_type, np.int64))
+    elif int32_data:
+        # int32_data carries several dtypes; float16/bfloat16 store the
+        # raw 16-bit pattern in the low half of each int32
+        if data_type == 10:  # float16
+            arr = (
+                np.asarray(int32_data, np.int64)
+                .astype(np.uint16)
+                .view(np.float16)
+                .astype(np.float32)
+            )
+        elif data_type == _BFLOAT16:
+            u16 = np.asarray(int32_data, np.int64).astype(np.uint16)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = np.asarray(int32_data, np.int64).astype(
+                _DTYPES.get(data_type, np.int32)
+            )
+    elif double_data:
+        arr = np.asarray(double_data, np.float64)
+    elif uint64_data:
+        arr = np.asarray(uint64_data, np.uint64)
+    elif shape and int(np.prod(shape)) > 0:
+        # a non-empty tensor with no recognized payload means an
+        # unhandled storage field — loading zeros would silently produce
+        # garbage forecasts downstream, so refuse
+        raise ValueError(
+            f"tensor {name!r}: no recognized data field "
+            f"(dims={shape}, data_type={data_type})"
+        )
     else:
         arr = np.zeros(shape, _DTYPES.get(data_type, np.float32))
     return name, arr.reshape(shape) if shape else arr
@@ -237,6 +291,8 @@ def read_onnx_initializers_from_bytes(
 
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        raise ValueError(f"varint value must be non-negative, got {v}")
     out = bytearray()
     while True:
         b = v & 0x7F

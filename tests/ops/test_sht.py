@@ -78,3 +78,34 @@ def test_constant_field():
     off = alm.copy()
     off[0, 0, 0] = 0
     assert np.abs(off).max() < 1e-3
+
+
+def test_matches_scipy_sph_harm():
+    """Pin the phase/normalization convention against scipy.
+
+    ``scipy.special.sph_harm_y(l, m, θ, 0)`` is the standard orthonormal
+    spherical harmonic WITH the Condon–Shortley phase — the same
+    convention torch-harmonics uses — so matching it row-by-row retires
+    the converter's biggest stated parity risk for fcnv2_sm (SURVEY §7
+    hard-part 2): a sign flip on any odd-m row would show up here.
+    """
+    sph_harm_y = pytest.importorskip("scipy.special").sph_harm_y
+
+    # equiangular (pole-inclusive) grid
+    nlat, L = 19, 12
+    theta = np.linspace(0, np.pi, nlat)
+    P = legendre_matrix(nlat, L, L, np.cos(theta))
+    for m in range(L):
+        for l in range(m, L):
+            ref = sph_harm_y(l, m, theta, 0.0).real
+            np.testing.assert_allclose(P[m, l], ref, atol=1e-13)
+
+    # legendre-gauss grid (the fcnv2_sm internal grid)
+    x, _ = np.polynomial.legendre.leggauss(16)
+    ct = x[::-1].copy()
+    th = np.arccos(ct)
+    Pg = legendre_matrix(16, 10, 10, ct)
+    for m in range(10):
+        for l in range(m, 10):
+            ref = sph_harm_y(l, m, th, 0.0).real
+            np.testing.assert_allclose(Pg[m, l], ref, atol=1e-13)

@@ -99,3 +99,58 @@ def test_not_onnx_raises(tmp_path):
     p.write_bytes(b"\x0a\x04none")
     with pytest.raises(ValueError):
         onnx_io.read_onnx_initializers(p)
+
+
+def _tensor_model(body: bytes) -> bytes:
+    graph = onnx_io._len_field(5, body)
+    return onnx_io._len_field(7, graph)
+
+
+def test_int32_data_field_fp16():
+    # fp16 stored as packed int32_data (field 5) — the standard non-raw
+    # layout for sub-32-bit initializers
+    f16 = np.asarray([1.5, -2.0, 0.25, 8.0], np.float16)
+    packed = b"".join(onnx_io._varint(int(b)) for b in f16.view(np.uint16))
+    body = onnx_io._tag(1, 0) + onnx_io._varint(4)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(10)  # FLOAT16
+    body += onnx_io._len_field(5, packed)  # int32_data, packed
+    body += onnx_io._len_field(8, b"w")
+    out = onnx_io.read_onnx_initializers_from_bytes(_tensor_model(body))
+    np.testing.assert_array_equal(out["w"], f16.astype(np.float32))
+
+
+def test_int32_data_field_int8():
+    vals = np.asarray([-3, 0, 7, 127], np.int8)
+    packed = b"".join(
+        onnx_io._varint(int(np.uint32(v))) for v in vals.astype(np.int32)
+    )
+    body = onnx_io._tag(1, 0) + onnx_io._varint(4)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(3)  # INT8
+    body += onnx_io._len_field(5, packed)
+    body += onnx_io._len_field(8, b"q")
+    out = onnx_io.read_onnx_initializers_from_bytes(_tensor_model(body))
+    np.testing.assert_array_equal(out["q"], vals)
+
+
+def test_double_data_field():
+    vals = np.asarray([0.5, -1.25], np.float64)
+    body = onnx_io._tag(1, 0) + onnx_io._varint(2)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(11)  # DOUBLE
+    body += onnx_io._len_field(10, vals.tobytes())  # packed double_data
+    body += onnx_io._len_field(8, b"d")
+    out = onnx_io.read_onnx_initializers_from_bytes(_tensor_model(body))
+    np.testing.assert_array_equal(out["d"], vals)
+
+
+def test_missing_payload_raises():
+    # non-empty dims but no data field must raise, not zero-fill
+    body = onnx_io._tag(1, 0) + onnx_io._varint(3)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(1)  # FLOAT
+    body += onnx_io._len_field(8, b"broken")
+    with pytest.raises(ValueError, match="no recognized data field"):
+        onnx_io.read_onnx_initializers_from_bytes(_tensor_model(body))
+
+
+def test_varint_negative_raises():
+    with pytest.raises(ValueError, match="non-negative"):
+        onnx_io._varint(-1)
