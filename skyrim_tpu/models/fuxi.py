@@ -17,6 +17,7 @@ sets inside the scanned advance, so a 15-day rollout stays on device.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,13 @@ class FuXiConfig:
     patch: int = 4  # cube-embed spatial downsample
     n_stages: int = 3  # short / medium / long
     stage_steps: int = 20  # 5 days of 6h steps per stage
+    # Published FuXi blocks are Swin-V2 (cosine attention with learned
+    # logit scale + continuous-position-bias MLP, residual-post-norm) —
+    # the default matches the released artifact so real checkpoints
+    # convert core-for-core.  attn_v2=False selects the repo's shared
+    # V1-style fused window-attention kernels (scaled dot product +
+    # earth bias table) for paths that want the Pallas/lon-manual route.
+    attn_v2: bool = True
 
     @property
     def cube_dim(self) -> int:
@@ -65,16 +73,95 @@ class FuXiConfig:
 
 
 class SwinBlock2D(nn.Module):
-    """2D window attention block on (H, W, C) with periodic longitude."""
+    """2D window attention block on (H, W, C) with periodic longitude.
+
+    ``v2`` selects the Swin-V2 formulation (Liu et al. 2022): cosine
+    attention with a per-head learned logit scale (clamped at 100), a
+    2-layer continuous-position-bias MLP over log-spaced relative
+    coordinates, and residual-post-norm (x + norm(f(x))).  The published
+    FuXi uses exactly these blocks; the V1 path keeps the repo's shared
+    fused Pallas kernels (scaled dot product + bias table).
+    """
 
     dim: int
     heads: int
     window: tuple[int, int]
     shifted: bool
     valid_h: int
+    v2: bool = False
 
     @nn.compact
     def __call__(self, x):  # (H, W, C) padded H
+        if self.v2:
+            return self._v2_block(x)
+        return self._v1_block(x)
+
+    def _v2_block(self, x):
+        H, Wd, C = x.shape
+        wh, ww = self.window
+        win3 = (1, wh, ww)
+        shift = (0, wh // 2 if self.shifted else 0, ww // 2 if self.shifted else 0)
+        mask = W.shift_attention_mask((1, H, Wd), win3, shift, (1, self.valid_h, Wd))
+        mask = jnp.asarray(mask) if mask is not None else None
+        head_dim = self.dim // self.heads
+
+        # continuous position bias: MLP(2 → 512 → heads) over log coords
+        table_in = jnp.asarray(W.swin_v2_log_coords(self.window))
+        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table_in)
+        cpb = nn.Dense(self.heads, use_bias=False, dtype=jnp.float32,
+                       name="cpb_fc2")(nn.relu(cpb))
+        idx = W.swin_rel_index(self.window)
+        bias = 16.0 * jax.nn.sigmoid(cpb)[idx]  # (wlen, wlen, heads)
+        bias = bias.transpose(2, 0, 1)  # (heads, wlen, wlen)
+        logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(math.log(10.0)),
+            (self.heads, 1, 1),
+            jnp.float32,
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
+
+        h = x[None]
+        if self.shifted:
+            h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
+        parts = W.window_partition(h, win3)
+        n_win, wlen, _ = parts.shape
+        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+        qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        # cosine attention: normalized q·k scaled by the learned scale
+        qn = q * jax.lax.rsqrt(
+            jnp.sum(jnp.square(q).astype(jnp.float32), -1, keepdims=True) + 1e-12
+        ).astype(q.dtype)
+        kn = k * jax.lax.rsqrt(
+            jnp.sum(jnp.square(k).astype(jnp.float32), -1, keepdims=True) + 1e-12
+        ).astype(k.dtype)
+        attn = jnp.einsum(
+            "whqd,whkd->whqk", qn, kn, preferred_element_type=jnp.float32
+        )
+        attn = attn * scale[None] + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nz, nh = mask.shape[:2]
+            nw = n_win // (nz * nh)
+            attn = attn.reshape(nz, nh, nw, self.heads, wlen, wlen)
+            attn = attn + mask[:, :, None, None].astype(attn.dtype)
+            attn = attn.reshape(n_win, self.heads, wlen, wlen)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "whqk,whkd->whqd", attn, v, preferred_element_type=jnp.float32
+        )
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
+        out = W.window_reverse(out, win3, (1, H, Wd))
+        out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
+        if self.shifted:
+            out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))
+        # residual-post-norm (Swin-V2): x + norm(attn(x)), x + norm(mlp(x))
+        x = x + nn.LayerNorm(dtype=x.dtype, name="norm1")(out[0])
+        m = nn.Dense(self.dim * 4, dtype=x.dtype, name="Dense_0")(x)
+        m = nn.Dense(self.dim, dtype=x.dtype, name="Dense_1")(nn.gelu(m))
+        return x + nn.LayerNorm(dtype=x.dtype, name="norm2")(m)
+
+    def _v1_block(self, x):
         from skyrim_tpu.ops.flash_window_attention import use_pallas
 
         H, Wd, C = x.shape
@@ -174,6 +261,30 @@ class SwinBlock2D(nn.Module):
         return x + h
 
 
+class SwinPair(nn.Module):
+    """One unshifted + one shifted block — the body ``nn.scan`` repeats.
+
+    Scanning pairs (instead of unrolling ``depth`` python blocks) is what
+    makes the published 48×1536 trunk compile: XLA traces/compiles ONE
+    pair and iterates it 24×, so compile time is O(1) in depth and the
+    per-pair weights stream from HBM exactly as the unrolled form would.
+    """
+
+    dim: int
+    heads: int
+    window: tuple[int, int]
+    valid_h: int
+    v2: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = SwinBlock2D(self.dim, self.heads, self.window, shifted=False,
+                        valid_h=self.valid_h, v2=self.v2, name="a")(x)
+        x = SwinBlock2D(self.dim, self.heads, self.window, shifted=True,
+                        valid_h=self.valid_h, v2=self.v2, name="b")(x)
+        return x, None
+
+
 class FuXiNet(nn.Module):
     """U-Transformer: cube embed (patch p, width D/2) → 2×2 patch-merge
     down (width D) → ``depth`` Swin blocks → patch-expand up (width D/2)
@@ -228,11 +339,17 @@ class FuXiNet(nn.Module):
         hd = nn.Dense(D, use_bias=False, dtype=hd.dtype, name="down")(hd)
 
         hp = jnp.pad(hd, ((0, (-Hd) % cfg.window[0]), (0, 0), (0, 0)))
-        for i in range(cfg.depth):
-            hp = SwinBlock2D(
-                cfg.embed_dim, cfg.num_heads, cfg.window,
-                shifted=(i % 2 == 1), valid_h=Hd, name=f"block_{i}",
-            )(hp)
+        assert cfg.depth % 2 == 0, "FuXi trunk depth must be even (shift pairs)"
+        Pairs = nn.scan(
+            SwinPair,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth // 2,
+        )
+        hp, _ = Pairs(
+            cfg.embed_dim, cfg.num_heads, cfg.window, Hd, cfg.attn_v2,
+            name="pairs",
+        )(hp, None)
         hd = hp[:Hd]
 
         # -- up: patch expand + skip concat --------------------------------
@@ -265,7 +382,12 @@ class FuXiModel(PrognosticModel):
     name = "fuxi"
     channels = ch.FUXI
     n_history = 2
-    lon_manual = True  # whole-step shard_map path (parallel/fused_shard.py)
+
+    @property
+    def lon_manual(self) -> bool:
+        # the lon-manual shard_map path (parallel/fused_shard.py) drives
+        # the V1-style fused kernels; Swin-V2 blocks shard via GSPMD
+        return not self.cfg.attn_v2
 
     @property
     def lon_shard_divisor(self) -> int:
@@ -295,6 +417,28 @@ class FuXiModel(PrognosticModel):
             "stages": [to_bf16(init(k, dummy)["params"]) for k in ks],
             "norm": make_norm_params(nc),
         }
+
+    def scan_cost_extra(self) -> tuple[float, float]:
+        """Analytic (flops, bytes) of the trunk-scan iterations XLA's
+        cost model does not count (it prices a while body once; the
+        ``nn.scan`` trunk runs depth/2 pairs).  GEMM-only accounting:
+        qkv 3C², proj C², MLP 8C² per token, plus window attention
+        4·T·wlen·C; bytes = per-block weights (bf16) + the fused
+        2-pass activation traffic — a lower bound for the XLA path,
+        exact for the fused one."""
+        cfg = self.cfg
+        wh, ww = cfg.window
+        Ht, Wt = cfg.tokens
+        Hd, Wd = (Ht + Ht % 2) // 2, Wt // 2
+        Hp = Hd + (-Hd) % wh
+        T = Hp * Wd
+        C = cfg.embed_dim
+        wlen = wh * ww
+        per_block_flops = 2 * T * C * (3 * C) + 2 * T * C * C \
+            + 4 * T * C * (4 * C) + 4 * T * wlen * C
+        per_block_bytes = 12 * C * C * 2 + 4 * T * C * 2
+        uncounted = max(cfg.depth - 2, 0)  # XLA prices one pair (2 blocks)
+        return (uncounted * per_block_flops, uncounted * per_block_bytes)
 
     def trim_stages(self, params, n_steps: int):
         """Drop cascade stages a rollout of ``n_steps`` can never reach —

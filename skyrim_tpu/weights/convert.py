@@ -141,11 +141,69 @@ def _swin_block(sd: Mapping, p: str, window: tuple[int, int]) -> dict:
     }
 
 
+class _TrackedSD(Mapping):
+    """Mapping wrapper that records consumed keys and fails loudly.
+
+    A missing key raises with the nearest available names instead of a
+    bare KeyError, and :meth:`report` lists every tensor the converter
+    never consumed — the two failure modes of ingesting a real traced
+    export (constant-folded / exporter-renamed initializers such as
+    ``onnx::MatMul_*``) surface immediately instead of as silent garbage
+    forecasts.  NOTE on folded MatMul weights: exporters that fold
+    ``nn.Linear`` into MatMul initializers store them (in, out) — the
+    transpose of the state-dict (out, in) layout the per-model
+    converters expect; such keys will show up here as missing/unconsumed
+    rather than load transposed silently.
+    """
+
+    def __init__(self, sd: Mapping):
+        self._sd = sd
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, k):
+        if k not in self._sd:
+            import difflib
+
+            near = difflib.get_close_matches(k, list(self._sd), n=3, cutoff=0.4)
+            raise KeyError(
+                f"checkpoint has no tensor {k!r}; nearest available: {near} "
+                f"({len(self._sd)} tensors total)"
+            )
+        self.consumed.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):
+        present = k in self._sd
+        if present:
+            self.consumed.add(k)
+        return present
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+    def report(self, model_name: str):
+        unconsumed = sorted(set(self._sd) - self.consumed)
+        if unconsumed:
+            shown = ", ".join(unconsumed[:12])
+            more = f" (+{len(unconsumed) - 12} more)" if len(unconsumed) > 12 else ""
+            logger.warning(
+                "%s converter left %d/%d checkpoint tensors unconsumed: %s%s",
+                model_name, len(unconsumed), len(self._sd), shown, more,
+            )
+
+
 def convert_torch_file(model, path: str | Path):
     """Dispatch by model name; accepts a torch-loadable state dict OR an
     ONNX artifact (.onnx — the distribution format of Pangu/FuXi/FengWu,
     reference pangu.py:45-46): initializers are read straight from the
-    protobuf (weights/onnx_io.py), no onnxruntime or pre-export step."""
+    protobuf (weights/onnx_io.py), no onnxruntime or pre-export step.
+
+    Every key the converter touches is tracked: missing keys raise with
+    nearest-name suggestions, and unconsumed tensors are reported loudly
+    after conversion (see :class:`_TrackedSD`)."""
     path = Path(path)
     if path.suffix.lower() == ".onnx":
         from skyrim_tpu.weights.onnx_io import read_onnx_initializers
@@ -161,7 +219,10 @@ def convert_torch_file(model, path: str | Path):
     converter = CONVERTERS.get(model.name)
     if converter is None:
         raise NotImplementedError(f"no converter for {model.name!r}")
-    return converter(model, sd)
+    tracked = _TrackedSD(sd)
+    out = converter(model, tracked)
+    tracked.report(model.name)
+    return out
 
 
 def _convert_norm_stats(sd: Mapping, n_channels: int) -> dict | None:
@@ -441,17 +502,71 @@ def convert_graphcast(model, sd: Mapping):
     return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
 
 
+def _tree_stack(trees: list) -> dict:
+    """Stack identical param trees leaf-wise (leading axis = block index)
+    — the layout ``nn.scan`` expects for the scanned trunk."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def _swin_v2_block(sd: Mapping, p: str) -> dict:
+    """One Swin-V2 SwinBlock2D (models/fuxi.py _v2_block) from torch
+    Swin-V2 naming: norm1/norm2 (post-norms), attn.{qkv,proj,logit_scale},
+    attn.cpb_mlp.{0,2} (the continuous-position-bias MLP), mlp.{fc1,fc2}.
+    Official Swin-V2 qkv is bias-free with separate q_bias/v_bias (k bias
+    identically zero); both that split form and a fused qkv.bias are
+    accepted."""
+    qkv = {"kernel": _t(sd[f"{p}.attn.qkv.weight"]).T}
+    C = qkv["kernel"].shape[0]
+    if f"{p}.attn.qkv.bias" in sd:
+        qkv["bias"] = _t(sd[f"{p}.attn.qkv.bias"])
+    elif f"{p}.attn.q_bias" in sd:
+        qkv["bias"] = np.concatenate(
+            [_t(sd[f"{p}.attn.q_bias"]), np.zeros((C,), np.float32),
+             _t(sd[f"{p}.attn.v_bias"])]
+        )
+    else:
+        qkv["bias"] = np.zeros((3 * C,), np.float32)
+    return {
+        "norm1": convert_layernorm(sd, f"{p}.norm1"),
+        "norm2": convert_layernorm(sd, f"{p}.norm2"),
+        "qkv": qkv,
+        "proj": _linear_zb(sd, f"{p}.attn.proj"),
+        "logit_scale": _t(sd[f"{p}.attn.logit_scale"]).reshape(-1, 1, 1),
+        "cpb_fc1": convert_linear(sd, f"{p}.attn.cpb_mlp.0"),
+        "cpb_fc2": {"kernel": _t(sd[f"{p}.attn.cpb_mlp.2.weight"]).T},
+        "Dense_0": convert_linear(sd, f"{p}.mlp.fc1"),
+        "Dense_1": convert_linear(sd, f"{p}.mlp.fc2"),
+    }
+
+
 def convert_fuxi(model, sd: Mapping):
     """FuXi cascade (stages.{s}.{cube_embed,blocks.{i},head}; one stage
     per short/medium/long regime) → our tree (reference wraps the
     earth2studio FuXi ONNX cascade, skyrim/core/models/fuxi.py:53-54).
-    A single-stage source is broadcast across all stages."""
+
+    Blocks convert per the configured attention flavor — Swin-V2 cores
+    (cosine attention logit_scale + CPB MLP, the published FuXi blocks)
+    when ``cfg.attn_v2``, V1 scaled-dot-product cores otherwise — and are
+    stacked pairwise (even blocks → ``pairs/a``, odd → ``pairs/b``) into
+    the ``nn.scan`` layout of the trunk.  Stage trees are cast bf16 at
+    rest like ``init_params`` (three ~1.4 B-param stages do not fit a
+    16 GB chip in fp32)."""
+    import jax
+    import jax.numpy as jnp
+
     from skyrim_tpu.models.base import make_norm_params
 
     cfg = model.cfg
+    block = (
+        (lambda p: _swin_v2_block(sd, p)) if cfg.attn_v2
+        else (lambda p: _swin_block(sd, p, cfg.window))
+    )
 
     def one_stage(pre: str) -> dict:
-        st = {
+        blocks = [block(f"{pre}.blocks.{i}") for i in range(cfg.depth)]
+        return {
             "cube_embed": convert_conv2d(sd, f"{pre}.cube_embed"),
             "head": convert_convtranspose2d(sd, f"{pre}.head"),
             "down_norm": convert_layernorm(sd, f"{pre}.down_norm"),
@@ -459,12 +574,18 @@ def convert_fuxi(model, sd: Mapping):
             "up": convert_linear(sd, f"{pre}.up"),
             "up_norm": convert_layernorm(sd, f"{pre}.up_norm"),
             "fuse": convert_linear(sd, f"{pre}.fuse"),
+            "pairs": {
+                "a": _tree_stack(blocks[0::2]),
+                "b": _tree_stack(blocks[1::2]),
+            },
         }
-        for i in range(cfg.depth):
-            st[f"block_{i}"] = _swin_block(sd, f"{pre}.blocks.{i}", cfg.window)
-        return st
 
-    stages = [one_stage(f"stages.{s}") for s in range(cfg.n_stages)]
+    to_bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if np.asarray(a).dtype == np.float32 else np.asarray(a),
+        t,
+    )
+    stages = [to_bf16(one_stage(f"stages.{s}")) for s in range(cfg.n_stages)]
     nc = cfg.in_channels
     return {
         "stages": stages,

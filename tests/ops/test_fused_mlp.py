@@ -125,7 +125,7 @@ def test_fuxi_fused_matches_xla(monkeypatch):
     from skyrim_tpu.models.fuxi import FuXiConfig, FuXiModel
 
     cfg = FuXiConfig(lat=49, lon=96, in_channels=5, embed_dim=16,
-                     depth=2, num_heads=2)
+                     depth=2, num_heads=2, attn_v2=False)
 
     def run(use_fused):
         import skyrim_tpu.ops.flash_window_attention as fwa

@@ -48,7 +48,7 @@ def _fuxi():
 
     return FuXiModel(
         FuXiConfig(lat=49, lon=96, in_channels=6, embed_dim=32, depth=2,
-                   num_heads=2, stage_steps=2, n_stages=3)
+                   num_heads=2, stage_steps=2, n_stages=3, attn_v2=False)
     )
 
 

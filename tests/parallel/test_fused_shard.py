@@ -175,19 +175,28 @@ def test_sharded_rollout_fused_path(family, monkeypatch):
         .astype(np.float32)
     )
 
+    n_steps = 10  # the product is a 40-step rollout; 10 steps bounds drift
     state = model.init_state(params, x0)
-    _, ys_single = scan_rollout(model, params, state, n_steps=2)
+    _, ys_single = scan_rollout(model, params, state, n_steps=n_steps)
 
     mesh = make_mesh(dp=2, lat=1, lon=4)
     assert _step_mode(model, mesh) == "manual"
-    run = sharded_scan_rollout(model, mesh, n_steps=2)
+    run = sharded_scan_rollout(model, mesh, n_steps=n_steps)
     state2 = shard_state(mesh, model.init_state(params, x0))
     _, ys_sharded = run(params, state2)
 
     a, b = np.asarray(ys_single), np.asarray(ys_sharded)
     assert a.shape == b.shape
-    scale = np.abs(a).mean() + 1e-6
-    np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+    # drift bound: the sharded rollout may differ from single-device only
+    # by bf16 reduction-order noise, which must stay bounded at EVERY
+    # step of the autoregressive feedback, not just the first — each
+    # step's scale-normalized error ≤ 1e-2.
+    for t in range(a.shape[0]):
+        scale = np.abs(a[t]).mean() + 1e-6
+        np.testing.assert_allclose(
+            a[t] / scale, b[t] / scale, atol=1e-2,
+            err_msg=f"sharded drift exceeded bound at rollout step {t}",
+        )
 
 
 def test_dp_ensemble_fused_path(monkeypatch):

@@ -58,3 +58,48 @@ def test_pangu_full_size_step_finite():
     x = jnp.zeros(model.state_shape, jnp.float32)
     y = jax.jit(model.apply)(params, x)
     assert bool(jnp.isfinite(jnp.mean(y)))
+
+
+def _full_size(name):
+    """Full-resolution production model per family (the configs the
+    reference actually runs, SURVEY.md §2.1)."""
+    from skyrim_tpu.models import MODELS
+
+    return MODELS[name]("pangu6") if name == "pangu" else MODELS[name]()
+
+
+@requires_tpu
+@pytest.mark.parametrize(
+    "name",
+    ["pangu", "fourcastnet", "fourcastnet_v2", "dlwp", "graphcast", "fuxi",
+     "fengwu"],
+)
+def test_full_size_rollout_finite_and_bounded(name):
+    """Every family must run FULL-SIZE on the chip: one jitted 3-step
+    rollout (scan, on-device feedback) stays finite and the step-to-step
+    output scale may not explode (drift bound ≤10× per step on random
+    normal ICs) — 'runs on hardware' as a tested property, not a bench
+    side effect (round-2 VERDICT items 1/9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyrim_tpu.rollout import scan_rollout
+
+    model = _full_size(name)
+    params = model.init_params(jax.random.key(0))
+    if hasattr(model, "trim_stages"):
+        params = model.trim_stages(params, 3)  # one resident FuXi stage
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=model.state_shape).astype(np.float32)
+    _, ys = scan_rollout(model, params, jax.tree.map(jnp.asarray,
+                                                     model.init_state(params, x0)),
+                         n_steps=3)
+    ys = np.asarray(ys, np.float32)
+    assert ys.shape[0] >= 3
+    assert np.isfinite(ys).all(), f"{name}: non-finite rollout output"
+    scales = [np.abs(ys[t]).mean() + 1e-9 for t in range(3)]
+    for t in range(1, 3):
+        assert scales[t] / scales[t - 1] < 10.0, (
+            f"{name}: output scale exploded {scales[t-1]:.3g}→{scales[t]:.3g} "
+            f"at step {t}"
+        )

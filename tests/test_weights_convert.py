@@ -386,11 +386,28 @@ def test_graphcast_converter():
     _assert_tree_parity_and_run(model, converted, native)
 
 
-def _make_fuxi_case():
+def _swin_v2_block_sd(sd, rng, p, dim, heads, split_qkv_bias=False):
+    """Swin-V2 torch keys: post-norms, cosine-attn logit_scale, CPB MLP.
+    ``split_qkv_bias`` exercises the official q_bias/v_bias split form."""
+    _ln_sd(sd, rng, f"{p}.norm1", dim)
+    _ln_sd(sd, rng, f"{p}.norm2", dim)
+    _linear_sd(sd, rng, f"{p}.attn.qkv", dim, 3 * dim, bias=not split_qkv_bias)
+    if split_qkv_bias:
+        sd[f"{p}.attn.q_bias"] = _rng_like(rng, (dim,))
+        sd[f"{p}.attn.v_bias"] = _rng_like(rng, (dim,))
+    _linear_sd(sd, rng, f"{p}.attn.proj", dim, dim)
+    sd[f"{p}.attn.logit_scale"] = _rng_like(rng, (heads, 1, 1))
+    _linear_sd(sd, rng, f"{p}.attn.cpb_mlp.0", 2, 512)
+    _linear_sd(sd, rng, f"{p}.attn.cpb_mlp.2", 512, heads, bias=False)
+    _linear_sd(sd, rng, f"{p}.mlp.fc1", dim, 4 * dim)
+    _linear_sd(sd, rng, f"{p}.mlp.fc2", 4 * dim, dim)
+
+
+def _make_fuxi_case(attn_v2=False, split_qkv_bias=False):
     from skyrim_tpu.models.fuxi import FuXiConfig, FuXiModel
 
     cfg = FuXiConfig(lat=49, lon=96, in_channels=5, embed_dim=16, depth=2,
-                     num_heads=2, stage_steps=2, n_stages=3)
+                     num_heads=2, stage_steps=2, n_stages=3, attn_v2=attn_v2)
     model = FuXiModel(cfg)
     native = model.init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -413,14 +430,47 @@ def _make_fuxi_case():
         sd[f"{pre}.fuse.weight"] = _rng_like(rng, (Dc, 2 * Dc))
         sd[f"{pre}.fuse.bias"] = _rng_like(rng, (Dc,))
         for i in range(cfg.depth):
-            _swin_block_sd(sd, rng, f"{pre}.blocks.{i}", D, cfg.num_heads, cfg.window)
+            if attn_v2:
+                _swin_v2_block_sd(sd, rng, f"{pre}.blocks.{i}", D,
+                                  cfg.num_heads, split_qkv_bias)
+            else:
+                _swin_block_sd(sd, rng, f"{pre}.blocks.{i}", D,
+                               cfg.num_heads, cfg.window)
     return model, sd, native
 
 
-def test_fuxi_converter():
-    model, sd, native = _make_fuxi_case()
+def test_fuxi_converter_v1():
+    model, sd, native = _make_fuxi_case(attn_v2=False)
     converted = convert.convert_fuxi(model, sd)
     _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_fuxi_converter_v2():
+    model, sd, native = _make_fuxi_case(attn_v2=True)
+    converted = convert.convert_fuxi(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_fuxi_converter_v2_split_qkv_bias():
+    """Official Swin-V2 checkpoints ship q_bias/v_bias with an implicit
+    zero k bias; the converter must fuse them into one qkv bias."""
+    model, sd, native = _make_fuxi_case(attn_v2=True, split_qkv_bias=True)
+    converted = convert.convert_fuxi(model, sd)
+    _assert_tree_parity_and_run(model, converted, native)
+    b = np.asarray(converted["stages"][0]["pairs"]["a"]["qkv"]["bias"])
+    D = model.cfg.embed_dim
+    np.testing.assert_array_equal(b[0, D : 2 * D], 0.0)
+
+
+def test_tracked_sd_reports():
+    """convert_torch_file-style tracking: missing keys raise with
+    suggestions; unconsumed keys are counted."""
+    sd = {"blocks.0.norm1.weight": np.zeros(3), "stray.tensor": np.zeros(2)}
+    tracked = convert._TrackedSD(sd)
+    _ = tracked["blocks.0.norm1.weight"]
+    with pytest.raises(KeyError, match="nearest available"):
+        _ = tracked["blocks.0.norm1.weigth"]
+    assert set(tracked) - tracked.consumed == {"stray.tensor"}
 
 
 def _make_fengwu_case():
