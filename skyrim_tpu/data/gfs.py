@@ -14,6 +14,7 @@ import datetime
 import numpy as np
 
 from skyrim_tpu.data import grib
+from skyrim_tpu.data.regrid import to_canonical_grid
 from skyrim_tpu.data.ic import ICSource
 from skyrim_tpu.data.idx import MAX_BYTE_SIZE, lookup, parse_idx
 from skyrim_tpu.data.nwp_base import NWPProduct
@@ -57,7 +58,8 @@ class GFSModel(NWPProduct):
                                    length=e.length or MAX_BYTE_SIZE),
         )
         msg = grib.decode_message(raw)
-        return entry.modifier(msg.values.astype(np.float32))
+        vals = to_canonical_grid(msg.values.astype(np.float32), msg.lat, msg.lon)
+        return entry.modifier(vals)
 
     def available(self, init: datetime.datetime) -> bool:
         return http_exists(f"{BUCKET_URL}/{gfs_key(init, 0)}.idx")

@@ -15,6 +15,7 @@ import datetime
 import numpy as np
 
 from skyrim_tpu.data import grib
+from skyrim_tpu.data.regrid import to_canonical_grid
 from skyrim_tpu.data.ic import ICSource
 from skyrim_tpu.data.idx import ecmwf_lookup, parse_ecmwf_index
 from skyrim_tpu.data.nwp_base import NWPProduct
@@ -83,6 +84,10 @@ class _ECMWFProduct(NWPProduct):
             # open-data files are -180..180; roll to 0..360 (reference
             # ifs.py:551-553)
             vals = np.roll(vals, vals.shape[1] // 2, axis=1)
+        # 0.4°-beta (or any non-canonical) sources land on 0.25° here
+        # (reference ic/ifs.py:161-170 re-interp with extrapolation)
+        lon = np.arange(0.0, 360.0, 360.0 / vals.shape[1])
+        vals = to_canonical_grid(vals, msg.lat, lon)
         return entry.modifier(vals)
 
     def available(self, init: datetime.datetime) -> bool:

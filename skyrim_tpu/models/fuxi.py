@@ -7,11 +7,16 @@ cascade — separate short (0-5 d) / medium (5-10 d) / long (10-15 d)
 models selected by lead time (fuxi.py:26-35).
 
 Architecture follows Chen et al. 2023: space-time cube embedding of the
-two input frames → downsample to 1/4 resolution → stack of 2D
-Swin-style window-attention blocks (shares ops/windows.py with Pangu,
-window over (lat, lon) with periodic lon) → upsample + concat skip →
-output head.  The cascade is a ``lax.switch`` over per-stage parameter
-sets inside the scanned advance, so a 15-day rollout stays on device.
+two input frames → downsample to 1/4 resolution → 48 Swin-V2
+window-attention blocks at width 1536 (cosine attention + CPB MLP +
+residual-post-norm, the published block flavor; ``attn_v2=False``
+selects V1-style blocks sharing the fused Pallas kernels with Pangu) →
+upsample + concat skip → output head.  The trunk is ``nn.scan`` over
+shifted/unshifted block PAIRS — XLA compiles one pair and iterates 24×,
+which is what lets the 1.37 B-parameter stage compile and run on the
+chip (0.55 s/step full-res).  The cascade is a ``lax.switch`` over
+per-stage parameter sets inside the scanned advance, so a 15-day
+rollout stays on device.
 """
 
 from __future__ import annotations

@@ -214,3 +214,34 @@ def test_cds_dataset_factory(tmp_path, monkeypatch):
     assert meta["n_slices"] == 2
     assert (tmp_path / "ds" / "metadata.json").exists()
     assert (tmp_path / "ds" / "slice_00000.nc").exists()
+
+
+class Fake04DegTransport(FakeECMWFTransport):
+    """Serves a 0.4°-beta-style field (451×900) so the fetcher must
+    regrid onto the canonical 0.25° grid (reference ic/ifs.py:161-170)."""
+
+    def _build(self, base):
+        H4, W4 = 451, 900
+        vals = np.tile(
+            np.linspace(3.0, 13.0, W4, endpoint=False), (H4, 1)
+        ).astype(np.float32)
+        msg = grib.encode_simple(
+            vals, lat_first=90.0, lon_first=-180.0, lat_last=-90.0,
+            lon_last=179.6,
+        )
+        e = {"domain": "g", "param": "10u", "levtype": "sfc",
+             "_offset": 0, "_length": len(msg)}
+        self.files[base] = msg
+        self.files[base.replace(".grib2", ".index")] = json.dumps(e).encode()
+
+
+def test_ifs_regrids_04deg_to_canonical():
+    transport = Fake04DegTransport()
+    model = IFSModel(["u10m"], transport=transport, cache=False, max_workers=1)
+    out = model.fetch_dataarray(T0, [0])
+    u = out.sel(channel="u10m").data[0]
+    assert u.shape == (721, 1440)  # canonical, not 451×900
+    # the rolled source is linear in lon (3→13 across -180..180 → after
+    # roll 8→13 then 3→8); canonical lon 0 carries the source midpoint
+    assert u[0, 0] == pytest.approx(8.0, abs=0.02)
+    assert np.isfinite(u).all()
