@@ -455,16 +455,177 @@ def convert_sfno(model, sd: Mapping):
     return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
 
 
-def convert_graphcast(model, sd: Mapping):
-    """GraphCast (haiku params flattened to torch-Linear orientation:
-    {grid,mesh,mm}_embed, g2m/m2g {edge_embed,message,update},
-    processor.{i}.{edge,node}, grid_update, head — each an MLP with
-    fc1/fc2[/ln]) → our tree.  The reference drives the original
-    haiku/jraph model (skyrim/core/models/graphcast.py:51-54); its
-    params export losslessly to this naming.  The message MLP's fc1 must
-    be packed over concat([edge, src, dst], axis=-1) — the same order
-    models/graphcast.py factors (FactoredEdgeMLP)."""
+def convert_graphcast_haiku(model, hk: Mapping):
+    """GraphCast from the OFFICIAL haiku parameter naming → our tree.
+
+    The released DeepMind checkpoints (the artifacts the reference loads
+    via ``earth2mip.networks.graphcast``, reference graphcast.py:51-54)
+    are haiku param dicts whose module paths come from
+    ``deep_typed_graph_net._networks_builder``: three GNNs
+    (``grid2mesh_gnn``, ``mesh_gnn``, ``mesh2grid_gnn``), each building
+    MLPs named ``{encoder|processor|decoder}_{edges|nodes}…`` with the
+    edge/node-set name and (for processors) a step index embedded, each
+    MLP exposing ``linear_0``/``linear_1`` (+ ``layer_norm``) leaves
+    with haiku ``w``/``b``/``scale``/``offset`` params — already in
+    (in, out) orientation, so NO transpose (unlike torch).
+
+    Accepted input shapes: the nested haiku dict
+    ``{module_path: {param: array}}`` or its flat npz form
+    ``{f"{module_path}/{param}": array}``.  Module paths are classified
+    STRUCTURALLY (gnn name + role + edges/nodes + set-name + step-index
+    tokens), tolerating separator/suffix drift (``~``,
+    ``~_networks_builder``, ``_mlp``) between exporter versions; every
+    source module must classify and every target slot must fill, or the
+    converter raises listing the leftovers.
+
+    Concat-order assumptions (documented, asserted by shape): edge MLPs
+    take concat([edge, src, dst]); node MLPs take concat([node, agg]) —
+    matching models/graphcast.py's FactoredEdgeMLP/MLP(x2=…) factoring.
+    """
+    import re
+
     from skyrim_tpu.models.base import make_norm_params
+
+    cfg = model.cfg
+
+    # -- normalize to nested {path: {param: arr}} -------------------------
+    nested: dict[str, dict] = {}
+    norm_extra = {}
+    for k, v in hk.items():
+        if isinstance(v, Mapping):
+            nested[k] = dict(v)
+        elif k in ("norm_mean", "norm_std", "mean", "std", "means", "stds"):
+            norm_extra[k] = v
+        else:
+            path, _, param = k.rpartition("/")
+            nested.setdefault(path, {})[param] = v
+
+    # -- classify every module path --------------------------------------
+    def classify(path: str):
+        p = path.lower()
+        if "grid2mesh_gnn" in p:
+            gnn = "g2m"
+        elif "mesh2grid_gnn" in p:
+            gnn = "m2g"
+        elif "mesh_gnn" in p:
+            gnn = "mesh"
+        else:
+            return None
+        role = ("encoder" if "encoder" in p else
+                "decoder" if "decoder" in p else
+                "processor" if "processor" in p else None)
+        kind = "edges" if "edges" in p else "nodes" if "nodes" in p else None
+        # which node set (strip the gnn module token first so the
+        # 'mesh'/'grid' in e.g. 'grid2mesh_gnn' doesn't match)
+        tail = re.sub(r"\w*gnn", "", p)
+        nset = ("grid_nodes" if "grid_nodes" in tail else
+                "mesh_nodes" if "mesh_nodes" in tail else None)
+        layer = None
+        m = re.search(r"linear_(\d+)", p)
+        if m:
+            layer = f"linear_{m.group(1)}"
+        elif "layer_norm" in p or "layernorm" in p:
+            layer = "layer_norm"
+        step = None
+        ms = re.findall(r"_(\d+)(?:_|/|$)", re.sub(r"linear_\d+", "", p))
+        if ms:
+            step = int(ms[0])
+        if role is None or kind is None:
+            return None
+        return gnn, role, kind, nset, step, layer
+
+    def target_for(gnn, role, kind, nset, step):
+        if gnn == "g2m":
+            if role == "encoder" and kind == "nodes":
+                return ("embed_grid",) if nset == "grid_nodes" else ("embed_mesh",)
+            if role == "encoder" and kind == "edges":
+                return ("g2m", "edge_embed")
+            if role == "processor" and kind == "edges":
+                return ("g2m", "message")
+            if role == "processor" and kind == "nodes":
+                return (("g2m", "MLP_0") if nset == "mesh_nodes"
+                        else ("grid_update",))
+        if gnn == "mesh":
+            if role == "encoder" and kind == "edges":
+                return ("embed_mm",)
+            if role == "processor" and kind == "edges":
+                return (f"round_{step}", "MLP_0")
+            if role == "processor" and kind == "nodes":
+                return (f"round_{step}", "MLP_1")
+        if gnn == "m2g":
+            if role == "encoder" and kind == "edges":
+                return ("m2g", "edge_embed")
+            if role == "processor" and kind == "edges":
+                return ("m2g", "message")
+            if role == "processor" and kind == "nodes":
+                return ("m2g", "MLP_0")
+            if role == "decoder" and kind == "nodes":
+                return ("head",)
+        return None
+
+    net: dict = {}
+    unmatched = []
+    for path, leaves in nested.items():
+        c = classify(path)
+        if c is None:
+            unmatched.append(path)
+            continue
+        gnn, role, kind, nset, step, layer = c
+        tgt = target_for(gnn, role, kind, nset, step)
+        if tgt is None or layer is None:
+            unmatched.append(path)
+            continue
+        d = net
+        for part in tgt:
+            d = d.setdefault(part, {})
+        if layer == "layer_norm":
+            d["LayerNorm_0"] = {"scale": _t(leaves["scale"]),
+                                "bias": _t(leaves["offset"])}
+        else:
+            idx = layer.split("_")[1]
+            d[f"Dense_{idx}"] = {
+                "kernel": _t(leaves["w"]),  # haiku: already (in, out)
+                **({"bias": _t(leaves["b"])} if "b" in leaves else
+                   {"bias": np.zeros((np.asarray(leaves["w"]).shape[1],),
+                                     np.float32)}),
+            }
+    if unmatched:
+        raise ValueError(
+            f"convert_graphcast_haiku: {len(unmatched)} module paths did "
+            f"not classify: {unmatched[:8]}"
+        )
+    expected = (
+        {"embed_grid", "embed_mesh", "embed_mm", "g2m", "m2g",
+         "grid_update", "head"}
+        | {f"round_{i}" for i in range(cfg.processor_rounds)}
+    )
+    missing = expected - set(net)
+    if missing:
+        raise ValueError(
+            f"convert_graphcast_haiku: checkpoint lacks modules for "
+            f"{sorted(missing)}"
+        )
+    nc = cfg.in_channels
+    norm = _convert_norm_stats({**norm_extra}, nc) or make_norm_params(nc)
+    return {"net": net, "norm": norm}
+
+
+def convert_graphcast(model, sd: Mapping):
+    """GraphCast → our tree.  Dispatches on the input's shape: official
+    haiku module paths (nested dicts or '/'-joined flat keys — see
+    :func:`convert_graphcast_haiku`) convert directly; otherwise the
+    torch-Linear-orientation flat naming ({grid,mesh,mm}_embed, g2m/m2g
+    {edge_embed,message,update}, processor.{i}.{edge,node}, grid_update,
+    head — each an MLP with fc1/fc2[/ln]) is used.  The message MLP's
+    fc1 must be packed over concat([edge, src, dst], axis=-1) — the same
+    order models/graphcast.py factors (FactoredEdgeMLP)."""
+    from skyrim_tpu.models.base import make_norm_params
+
+    if any(
+        isinstance(v, Mapping) or "gnn" in str(k)
+        for k, v in list(sd.items())[:50]
+    ):
+        return convert_graphcast_haiku(model, sd)
 
     cfg = model.cfg
 
@@ -597,7 +758,31 @@ def convert_fengwu(model, sd: Mapping):
     """FengWu multi-modal transformer (encoders.{g}/decoders.{g} convs
     per variable group, fuse_in, fuser.{i} Swin blocks) → our tree
     (reference wraps the earth2studio FengWu ONNX,
-    skyrim/core/models/fengwu.py:44-53)."""
+    skyrim/core/models/fengwu.py:44-53).
+
+    Expected ONNX initializer mapping (the released FengWu is a traced
+    ONNX export; its initializers must present under these state-dict
+    names — a rename pass from the exporter's graph names is the
+    loader's job, and :class:`_TrackedSD` reports exactly which names
+    are missing/unconsumed when they do not line up):
+
+    - ``encoders.{g}.weight``/``.bias`` — per-modal Conv2d patch
+      embeds, torch (O, I, kh, kw) orientation; g=0 is surface, then
+      one per upper-air variable (z/q/u/v/t), matching the paper's
+      modal encoders (Chen et al. 2023 §2).
+    - ``decoders.{g}.weight``/``.bias`` — ConvTranspose2d patch
+      recovery per modal group, torch (I, O, kh, kw).
+    - ``fuse_in.weight``/``.bias`` — Linear mapping the concatenated
+      modal tokens into the fuser width, torch (out, in) — NOTE:
+      exporters that constant-fold Linears into ``onnx::MatMul_*``
+      initializers store the TRANSPOSE (in, out); such names surface as
+      missing keys here rather than loading transposed silently.
+    - ``fuser.{i}.…`` — transformer blocks in standard Swin naming
+      (norm1/norm2, attn.{qkv,proj,relative_position_bias_table},
+      mlp.{fc1,fc2}) — see :func:`_swin_block`.
+    - optional ``means``/``stds`` (or ``mean``/``std``) — per-channel
+      normalization stats.
+    """
     from skyrim_tpu.models.base import make_norm_params
 
     cfg = model.cfg

@@ -523,3 +523,69 @@ def test_onnx_import_roundtrip(name, tmp_path):
     path.write_bytes(build_onnx({k: np.asarray(v) for k, v in sd.items()}))
     converted = convert.convert_torch_file(model, path)
     _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_graphcast_haiku_converter():
+    """Official haiku module paths (deep_typed_graph_net
+    ``~_networks_builder`` naming, '/'-flattened npz form with haiku
+    w/b/scale/offset leaves in (in, out) orientation) convert directly
+    (round-2 VERDICT item 4b)."""
+    from skyrim_tpu.models.graphcast import GraphCastConfig, GraphCastModel
+
+    cfg = GraphCastConfig(lat=19, lon=36, in_channels=4, latent=16,
+                          processor_rounds=2, mesh_refinements=2,
+                          edge_chunks=2)
+    model = GraphCastModel(cfg)
+    native = _strip_cache(model.init_params(jax.random.key(0)))
+    rng = np.random.default_rng(0)
+
+    # our tree slot → official haiku module path
+    B = "~_networks_builder"
+    paths = {
+        ("embed_grid",): f"grid2mesh_gnn/{B}/encoder_nodes_grid_nodes_mlp",
+        ("embed_mesh",): f"grid2mesh_gnn/{B}/encoder_nodes_mesh_nodes_mlp",
+        ("g2m", "edge_embed"): f"grid2mesh_gnn/{B}/encoder_edges_grid2mesh_mlp",
+        ("g2m", "message"): f"grid2mesh_gnn/{B}/processor_edges_0_grid2mesh_mlp",
+        ("g2m", "MLP_0"): f"grid2mesh_gnn/{B}/processor_nodes_0_mesh_nodes_mlp",
+        ("grid_update",): f"grid2mesh_gnn/{B}/processor_nodes_0_grid_nodes_mlp",
+        ("embed_mm",): f"mesh_gnn/{B}/encoder_edges_mesh_mlp",
+        ("round_0", "MLP_0"): f"mesh_gnn/{B}/processor_edges_0_mesh_mlp",
+        ("round_0", "MLP_1"): f"mesh_gnn/{B}/processor_nodes_0_mesh_nodes_mlp",
+        ("round_1", "MLP_0"): f"mesh_gnn/{B}/processor_edges_1_mesh_mlp",
+        ("round_1", "MLP_1"): f"mesh_gnn/{B}/processor_nodes_1_mesh_nodes_mlp",
+        ("m2g", "edge_embed"): f"mesh2grid_gnn/{B}/encoder_edges_mesh2grid_mlp",
+        ("m2g", "message"): f"mesh2grid_gnn/{B}/processor_edges_0_mesh2grid_mlp",
+        ("m2g", "MLP_0"): f"mesh2grid_gnn/{B}/processor_nodes_0_grid_nodes_mlp",
+        ("head",): f"mesh2grid_gnn/{B}/decoder_nodes_grid_nodes_mlp",
+    }
+
+    hk = {}
+    for slot, path in paths.items():
+        node = native["net"]
+        for part in slot:
+            node = node[part]
+        for dense, lin in (("Dense_0", "linear_0"), ("Dense_1", "linear_1")):
+            kin, kout = node[dense]["kernel"].shape
+            hk[f"{path}/~/{lin}/w"] = _rng_like(rng, (kin, kout))
+            hk[f"{path}/~/{lin}/b"] = _rng_like(rng, (kout,))
+        if "LayerNorm_0" in node:
+            d = node["LayerNorm_0"]["scale"].shape[0]
+            hk[f"{path}/~/layer_norm/scale"] = _rng_like(rng, (d,))
+            hk[f"{path}/~/layer_norm/offset"] = _rng_like(rng, (d,))
+
+    converted = convert.convert_graphcast(model, hk)
+    _assert_tree_parity_and_run(model, converted, native)
+
+
+def test_graphcast_haiku_missing_module_raises():
+    from skyrim_tpu.models.graphcast import GraphCastConfig, GraphCastModel
+    from skyrim_tpu.weights.convert import convert_graphcast_haiku
+
+    cfg = GraphCastConfig(lat=19, lon=36, in_channels=4, latent=16,
+                          processor_rounds=2, mesh_refinements=2,
+                          edge_chunks=2)
+    model = GraphCastModel(cfg)
+    hk = {"grid2mesh_gnn/~_networks_builder/encoder_nodes_grid_nodes_mlp"
+          "/~/linear_0/w": np.zeros((4, 8), np.float32)}
+    with pytest.raises(ValueError, match="lacks modules"):
+        convert_graphcast_haiku(model, hk)
