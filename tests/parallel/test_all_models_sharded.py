@@ -52,6 +52,16 @@ def _fuxi():
     )
 
 
+def _fuxi_v2():
+    # the production default: Swin-V2 cores, GSPMD sharding path
+    from skyrim_tpu.models.fuxi import FuXiConfig, FuXiModel
+
+    return FuXiModel(
+        FuXiConfig(lat=49, lon=96, in_channels=6, embed_dim=32, depth=2,
+                   num_heads=2, stage_steps=2, n_stages=3)
+    )
+
+
 def _fengwu():
     from skyrim_tpu.models.fengwu import FengWuConfig, FengWuModel
 
@@ -81,6 +91,7 @@ FAMILIES = {
     "fourcastnet": _afno,
     "fourcastnet_v2": _sfno,
     "fuxi": _fuxi,
+    "fuxi_v2": _fuxi_v2,
     "fengwu": _fengwu,
     "graphcast": _graphcast,
     "dlwp": _dlwp,
