@@ -19,6 +19,7 @@ from skyrim_tpu.data.regrid import to_canonical_grid
 from skyrim_tpu.data.ic import ICSource
 from skyrim_tpu.data.idx import ecmwf_lookup, parse_ecmwf_index
 from skyrim_tpu.data.nwp_base import NWPProduct
+from skyrim_tpu.utils.logging import logger
 from skyrim_tpu.data.transport import http_exists
 from skyrim_tpu.data.vocab import IFS_VOCAB
 from skyrim_tpu.field import Field
@@ -66,13 +67,21 @@ class _ECMWFProduct(NWPProduct):
 
     def _fetch_message(
         self, channel: str, init: datetime.datetime, step: int,
-        number: int | None = None,
+        number: int | None = None, level: str | None = None,
     ) -> np.ndarray:
         entry = self.vocabulary[channel]
-        e = ecmwf_lookup(
-            self._index(init, step), entry.provider_id, entry.levtype,
-            entry.level or None, number,
-        )
+        want_level = level if level is not None else (entry.level or None)
+        try:
+            e = ecmwf_lookup(
+                self._index(init, step), entry.provider_id, entry.levtype,
+                want_level, number,
+            )
+        except KeyError:
+            if level is None and entry.levtype == "pl" and entry.level:
+                return self._interp_missing_level(
+                    channel, init, step, number
+                )
+            raise
         url = f"{BUCKET_URL}/{self._key(init, step)}"
         raw = self._cached_fetch(
             f"{url}#{e['_offset']}#{number}",
@@ -89,6 +98,51 @@ class _ECMWFProduct(NWPProduct):
         lon = np.arange(0.0, 360.0, 360.0 / vals.shape[1])
         vals = to_canonical_grid(vals, msg.lat, lon)
         return entry.modifier(vals)
+
+    def _interp_missing_level(
+        self, channel: str, init: datetime.datetime, step: int,
+        number: int | None,
+    ) -> np.ndarray:
+        """Interpolate a pressure level the product does not publish from
+        the two nearest available levels of the same parameter (linear in
+        hPa, edge extrapolation — reference ic/ifs.py:38-51)."""
+        from skyrim_tpu.data.regrid import interp_pressure_levels
+
+        entry = self.vocabulary[channel]
+        target = float(entry.level)
+        avail = sorted({
+            float(x["levelist"])
+            for x in self._index(init, step)
+            if x.get("param") == entry.provider_id
+            and x.get("levtype") == "pl"
+            and x.get("levelist") not in (None, "")
+        })
+        if len(avail) < 2:
+            raise KeyError(
+                f"{channel}: level {entry.level} absent and <2 other "
+                f"levels of {entry.provider_id} available to interpolate"
+            )
+        below = [l for l in avail if l <= target]
+        above = [l for l in avail if l >= target]
+        # bracket when possible, else the two nearest (extrapolation)
+        if below and above:
+            l0, l1 = below[-1], above[0]
+        else:
+            pair = sorted(avail, key=lambda l: abs(l - target))[:2]
+            l0, l1 = sorted(pair)
+        logger.warning(
+            "%s: level %s not published; interpolating from %g/%g hPa",
+            channel, entry.level, l0, l1,
+        )
+        fmt = lambda l: str(int(l)) if float(l).is_integer() else str(l)
+        stack = np.stack([
+            self._fetch_message(channel, init, step, number, level=fmt(l))
+            for l in (l0, l1)
+        ])
+        out = interp_pressure_levels(
+            stack, np.asarray([l0, l1]), np.asarray([target])
+        )[0]
+        return out
 
     def available(self, init: datetime.datetime) -> bool:
         key = self._key(init, 0).replace(".grib2", ".index")

@@ -245,3 +245,32 @@ def test_ifs_regrids_04deg_to_canonical():
     # roll 8→13 then 3→8); canonical lon 0 carries the source midpoint
     assert u[0, 0] == pytest.approx(8.0, abs=0.02)
     assert np.isfinite(u).all()
+
+
+class FakeMissingLevelTransport(FakeECMWFTransport):
+    """Publishes gh at 850 and 1000 hPa only — z925 must interpolate
+    (reference ic/ifs.py:38-51)."""
+
+    def _build(self, base):
+        blob = b""
+        index = []
+        for level, val in (("850", 1400.0), ("1000", 100.0)):
+            vals = np.full((H, W), val, np.float32)
+            msg = grib.encode_simple(vals, lon_first=-180.0, lon_last=179.75)
+            index.append(json.dumps({
+                "domain": "g", "param": "gh", "levtype": "pl",
+                "levelist": level, "_offset": len(blob), "_length": len(msg),
+            }))
+            blob += msg
+        self.files[base] = blob
+        self.files[base.replace(".grib2", ".index")] = "\n".join(index).encode()
+
+
+def test_ifs_interpolates_missing_pressure_level():
+    transport = FakeMissingLevelTransport()
+    model = IFSModel(["z925"], transport=transport, cache=False, max_workers=1)
+    out = model.fetch_dataarray(T0, [0])
+    z = out.sel(channel="z925").data[0]
+    # gh(925) = midpoint of gh(850)=1400 and gh(1000)=100 → 750, ×9.81
+    assert z[0, 0] == pytest.approx(750.0 * 9.81, rel=1e-3)
+    assert np.isfinite(z).all()
