@@ -64,3 +64,42 @@ def run_remote(**kwargs):
     _, run_inference = build_app()
     logger.info("dispatching remote forecast: %s", kwargs)
     return run_inference.remote(**kwargs)
+
+
+def build_analysis_app(token: str | None = None):
+    """Analysis server over the shared output volume (reference
+    modal/forecast.py:60-100): a JupyterLab process on a CPU container
+    with the volume mounted, exposed through a ``modal.forward`` tunnel
+    guarded by a token."""
+    import secrets
+    import subprocess
+
+    modal = _require_modal()
+    token = token or secrets.token_urlsafe(16)
+
+    app = modal.App(f"skyrim-tpu-analysis-{MODAL_ENV}")
+    image = modal.Image.debian_slim().pip_install("jupyterlab", "skyrim-tpu")
+    vol = modal.Volume.from_name("skyrim-tpu-outputs", create_if_missing=True)
+
+    @app.function(image=image, volumes={"/outputs": vol}, timeout=86400)
+    def run_analysis():
+        with modal.forward(8888) as tunnel:
+            logger.info("jupyter: %s/?token=%s", tunnel.url, token)
+            subprocess.run(
+                [
+                    "jupyter", "lab",
+                    "--no-browser", "--allow-root", "--ip=0.0.0.0",
+                    "--port=8888", "--notebook-dir=/outputs",
+                    f"--ServerApp.token={token}",
+                ],
+                check=True,
+            )
+
+    return app, run_analysis, token
+
+
+def main(**kwargs):
+    """Local entrypoint mirroring the CLI params (reference
+    modal/forecast.py:103-150): ``main(model_name=…, date=…, …)``
+    dispatches the forecast remotely."""
+    return run_remote(**kwargs)
