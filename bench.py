@@ -82,10 +82,11 @@ def main() -> None:
     # (the Modal marketing claim stays in vs_baseline for the driver's
     # schema, but distance-to-speed-of-light is the number that matters)
     try:
-        from skyrim_tpu.utils.roofline import roofline, step_cost
+        from skyrim_tpu.utils.roofline import floor_bytes, roofline, step_cost
 
         flops, bytes_ = step_cost(model, params, state0)
-        roof = roofline(per_step, flops, bytes_)
+        roof = roofline(per_step, flops, bytes_,
+                        bytes_floor=floor_bytes(model, params, state0))
     except Exception as e:  # pragma: no cover - cost model availability
         roof = {"error": str(e)[:120]}
 

@@ -51,10 +51,11 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
     per_step = max((t_long - t_short) / max(n_long - n_short, 1), 1e-9)
     H, W = model.grid.shape
     try:
-        from skyrim_tpu.utils.roofline import roofline, step_cost
+        from skyrim_tpu.utils.roofline import floor_bytes, roofline, step_cost
 
         flops, bytes_ = step_cost(model, params, state0)
-        roof = roofline(per_step, flops, bytes_)
+        roof = roofline(per_step, flops, bytes_,
+                        bytes_floor=floor_bytes(model, params, state0))
     except Exception as e:
         roof = {"error": str(e)[:120]}
     return {
@@ -74,14 +75,26 @@ if __name__ == "__main__":
     names = sys.argv[1:] or [
         "dlwp", "fourcastnet", "fourcastnet_v2", "pangu", "fuxi", "fengwu", "graphcast",
     ]
-    results = {"device": str(jax.devices()[0]), "models": []}
+    # merge into an existing matrix so partial reruns (one model) keep
+    # the other entries instead of truncating the committed artifact
+    try:
+        with open("BENCH_SUITE.json") as fh:
+            results = json.load(fh)
+    except Exception:
+        results = {"models": []}
+    results["device"] = str(jax.devices()[0])
+    by_name = {m.get("model"): i for i, m in enumerate(results["models"])}
     for name in names:
         try:
             r = bench_model(name)
             print(json.dumps(r))
-            results["models"].append(r)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}")
-            results["models"].append({"model": name, "error": str(e)[:200]})
+            r = {"model": name, "error": str(e)[:200]}
+        if name in by_name:
+            results["models"][by_name[name]] = r
+        else:
+            by_name[name] = len(results["models"])
+            results["models"].append(r)
     with open("BENCH_SUITE.json", "w") as fh:
         json.dump(results, fh, indent=2)

@@ -87,17 +87,65 @@ def step_cost(model, params, state) -> tuple[float, float]:
     return flops, bytes_
 
 
-def roofline(step_wall_s: float, flops: float, bytes_: float, device=None) -> dict:
-    """MFU / HBM-roof percentages for a measured step time."""
+def floor_bytes(model, params, state) -> float:
+    """Strict LOWER bound on one step's HBM traffic: every resident
+    parameter byte read once + the state read and the output written.
+    Physical traffic can never be below this, so a roof computed from it
+    can never exceed 100% (unlike the cost-model bytes, which count
+    pre-fusion logical operands and overshoot on conv/fusion-heavy
+    models)."""
+    import jax
+    import numpy as np
+
+    def nbytes(a):
+        try:
+            itemsize = np.dtype(getattr(a, "dtype", np.float32)).itemsize
+        except TypeError:
+            itemsize = 4  # extended dtypes (PRNG keys): 4 B words
+        return np.size(a) * itemsize
+
+    pb = sum(nbytes(a) for a in jax.tree.leaves(params))
+    sb = sum(nbytes(a) for a in jax.tree.leaves(state))
+    return float(pb + 2 * sb)
+
+
+def roofline(
+    step_wall_s: float, flops: float, bytes_: float,
+    bytes_floor: float | None = None, device=None,
+) -> dict:
+    """MFU / HBM-roof percentages for a measured step time.
+
+    ``bytes_`` is the cost-model figure — an UPPER bound (XLA prices
+    pre-fusion logical operands, so fusion-heavy models can print >100%
+    of the roof from it); ``bytes_floor`` (see :func:`floor_bytes`) is
+    the physical lower bound.  The ``bound`` verdict is three-way:
+    "compute" when MFU beats even the upper-bound roof, "memory" when
+    the floor roof alone beats MFU, else "between-bounds" (the honest
+    answer when the two byte estimates straddle the MFU).
+    """
     peak_f, peak_b = device_peaks(device)
     mfu = flops / (step_wall_s * peak_f) if step_wall_s > 0 else 0.0
-    hbm = bytes_ / (step_wall_s * peak_b) if step_wall_s > 0 else 0.0
-    return {
+    hbm_hi = bytes_ / (step_wall_s * peak_b) if step_wall_s > 0 else 0.0
+    out = {
         "flops_g": round(flops / 1e9, 1),
         "bytes_gb": round(bytes_ / 2**30, 2),
+        "bytes_basis": "xla_cost_model_upper_bound",
         "mfu_pct": round(100 * mfu, 1),
-        "hbm_roof_pct": round(100 * hbm, 1),
-        "bound": "compute" if mfu >= hbm else "memory",
+        "hbm_roof_pct": round(100 * hbm_hi, 1),
         "peak_tflops": round(peak_f / 1e12, 1),
         "peak_hbm_gbs": round(peak_b / 1e9, 1),
     }
+    if bytes_floor is not None:
+        hbm_lo = (
+            bytes_floor / (step_wall_s * peak_b) if step_wall_s > 0 else 0.0
+        )
+        out["bytes_floor_gb"] = round(bytes_floor / 2**30, 2)
+        out["hbm_floor_pct"] = round(100 * hbm_lo, 1)
+        out["bound"] = (
+            "compute" if mfu >= hbm_hi
+            else "memory" if hbm_lo >= mfu
+            else "between-bounds"
+        )
+    else:
+        out["bound"] = "compute" if mfu >= hbm_hi else "memory"
+    return out

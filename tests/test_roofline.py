@@ -37,3 +37,31 @@ def test_fuxi_scan_extra_magnitude_full_config():
     f, b = FuXiModel().scan_cost_extra()
     assert f > 30e12  # tens of TFLOPs of uncounted trunk work
     assert b > 10e9  # ~12 GB of weight + 2-pass activation traffic
+
+
+def test_two_sided_bounds():
+    # floor below MFU below ceiling → honest "between-bounds"
+    r = roofline(step_wall_s=0.1, flops=5e12, bytes_=100e9, bytes_floor=1e9)
+    assert r["hbm_floor_pct"] < r["mfu_pct"] < r["hbm_roof_pct"]
+    assert r["bound"] == "between-bounds"
+    assert r["bytes_basis"] == "xla_cost_model_upper_bound"
+    # floor roof above MFU → memory-bound for sure
+    r2 = roofline(step_wall_s=0.1, flops=1e11, bytes_=90e9, bytes_floor=80e9)
+    assert r2["bound"] == "memory"
+    # MFU above even the upper-bound roof → compute-bound for sure
+    r3 = roofline(step_wall_s=0.1, flops=18e12, bytes_=5e9, bytes_floor=1e9)
+    assert r3["bound"] == "compute"
+
+
+def test_floor_bytes_counts_params_and_state():
+    import jax.numpy as jnp
+
+    from skyrim_tpu.utils.roofline import floor_bytes
+
+    class M:
+        pass
+
+    params = {"w": jnp.zeros((10, 10), jnp.bfloat16)}
+    state = {"x": jnp.zeros((4, 4), jnp.float32)}
+    fb = floor_bytes(M(), params, state)
+    assert fb == 100 * 2 + 2 * 16 * 4
