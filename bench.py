@@ -75,8 +75,11 @@ def main() -> None:
     H, W = model.grid.shape
     gps = H * W * len(model.channels) / per_step
     ten_day_s = per_step * TEN_DAY_STEPS
+    # ALSO run the actual 40-step (10-day) rollout end-to-end — the
+    # BASELINE.md wall-clock target is a measurement, not a projection
+    ten_day_measured_s = timed(TEN_DAY_STEPS)
     n_frames = n_long
-    vs_baseline = 120.0 / ten_day_s  # reference claim: forecast < 2 min
+    vs_baseline = 120.0 / ten_day_measured_s  # reference: forecast < 2 min
 
     # roofline honesty anchor: MFU / %-of-HBM-roof from XLA's cost model
     # (the Modal marketing claim stays in vs_baseline for the driver's
@@ -104,6 +107,7 @@ def main() -> None:
                     "wall_short_s": round(t_short, 4),
                     "step_wall_s": round(per_step, 4),
                     "ten_day_rollout_s": round(ten_day_s, 2),
+                    "ten_day_measured_s": round(ten_day_measured_s, 2),
                     "grid": [H, W, len(model.channels)],
                     "device": str(jax.devices()[0]),
                     "roofline": roof,
