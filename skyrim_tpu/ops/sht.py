@@ -3,7 +3,14 @@
 Replaces torch-harmonics' CUDA SHT used by the reference's FourCastNetv2
 backend (SURVEY.md §2.9 fcnv2_sm row).  Design:
 
-- longitude: ``jnp.fft.rfft/irfft`` (XLA FFT)
+- longitude: truncated real DFT as TWO static-matrix matmuls
+  (cos/sin tables of shape (nlon, mmax)) — MXU work.  XLA's FFT on TPU
+  runs on the VPU with heavy layout churn and computes ALL nlon/2+1
+  frequencies; SFNO keeps only mmax=121 of 721, so the matmul computes
+  an order of magnitude less and measured ~80% of fcnv2_sm's step was
+  this FFT machinery (profiled round 3; same finding as AFNO's token
+  mixer, ops/dft.py).  ``lon_mode="fft"`` keeps the old path for
+  cross-checks.
 - latitude: dense contraction with precomputed orthonormal associated
   Legendre matrices — einsum ``(m l h, c h m → c l m)``, a batched
   matmul that tiles directly onto the MXU
@@ -11,7 +18,8 @@ backend (SURVEY.md §2.9 fcnv2_sm row).  Design:
   (exact for the band-limited case)
 
 All tables are computed once in float64 numpy at construction and closed
-over as constants; compute runs in the caller's dtype.
+over as constants; compute runs in f32 (spectral coefficients are
+complex64 — parity with torch-harmonics requires f32 here).
 """
 
 from __future__ import annotations
@@ -89,12 +97,13 @@ class SHT:
 
     def __init__(self, nlat: int, nlon: int, lmax: int | None = None,
                  mmax: int | None = None, dtype=jnp.float32,
-                 grid: str = "equiangular"):
+                 grid: str = "equiangular", lon_mode: str = "matmul"):
         self.nlat, self.nlon = nlat, nlon
         self.lmax = lmax or nlat
         self.mmax = mmax or min(self.lmax, nlon // 2 + 1)
         self.dtype = dtype
         self.grid = grid
+        self.lon_mode = lon_mode
 
         if grid == "equiangular":
             # pole-inclusive equiangular latitudes: θ = 0 .. π
@@ -121,11 +130,56 @@ class SHT:
         self._Pw = ((P * w[None, None, :]) * (2 * np.pi / nlon)).astype(np_dtype)
         self._P = P.astype(np_dtype)
 
+        # truncated real-DFT tables: θ[w, m] = 2π·w·m/W for the mmax kept
+        # modes only.  Forward: F_m = Σ_w x_w e^{-iθ}; synthesis folds the
+        # Hermitian weights (2 except m=0 and the Nyquist mode) so the
+        # real field is one cos-matmul minus one sin-matmul.
+        theta = (
+            np.arange(nlon)[:, None] * np.arange(self.mmax)[None, :]
+            * (2 * np.pi / nlon)
+        )
+        self._cw = np.cos(theta).astype(np.float32)  # (W, M)
+        self._sw = (-np.sin(theta)).astype(np.float32)
+        hw = np.full((self.mmax,), 2.0)
+        hw[0] = 1.0
+        if nlon % 2 == 0 and self.mmax - 1 == nlon // 2:
+            hw[-1] = 1.0
+        self._icw = (np.cos(theta) * hw).astype(np.float32)  # (W, M)
+        self._isw = (np.sin(theta) * hw).astype(np.float32)
+
+    def _lon_forward(self, x32: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """real (..., W) f32 → (Fr, Fi) each (..., M) f32."""
+        if self.lon_mode == "fft":
+            F = jnp.fft.rfft(x32, axis=-1)[..., : self.mmax]
+            return F.real, F.imag
+        Fr = jnp.einsum("...w,wm->...m", x32, self._cw,
+                        preferred_element_type=jnp.float32)
+        Fi = jnp.einsum("...w,wm->...m", x32, self._sw,
+                        preferred_element_type=jnp.float32)
+        return Fr, Fi
+
+    def _lon_inverse(self, Fr: jax.Array, Fi: jax.Array) -> jax.Array:
+        """(Fr, Fi) (..., M) f32 → real (..., W): G_0 + 2Σ Re(G_m e^{imφ})."""
+        if self.lon_mode == "fft":
+            F = jax.lax.complex(Fr, Fi)
+            nfreq = self.nlon // 2 + 1
+            if self.mmax < nfreq:
+                pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - self.mmax)]
+                F = jnp.pad(F, pad)
+            # irfft computes (1/W)[X_0 + 2 Σ Re(X_m e^{imφ})]; scale by W
+            return jnp.fft.irfft(F, n=self.nlon, axis=-1) * self.nlon
+        return (
+            jnp.einsum("...m,wm->...w", Fr, self._icw,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("...m,wm->...w", Fi, self._isw,
+                         preferred_element_type=jnp.float32)
+        )
+
     @partial(jax.jit, static_argnums=0)
     def forward(self, x: jax.Array) -> jax.Array:
         """Analysis: real (..., H, W) → complex64 (..., L, M)."""
-        F = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)[..., : self.mmax]
-        Fr, Fi = F.real.astype(self.dtype), F.imag.astype(self.dtype)
+        Fr, Fi = self._lon_forward(x.astype(jnp.float32))
+        Fr, Fi = Fr.astype(self.dtype), Fi.astype(self.dtype)
         # (..., H, M) × (M, L, H) → (..., L, M)
         ar = jnp.einsum("...hm,mlh->...lm", Fr, self._Pw,
                         preferred_element_type=jnp.float32)
@@ -142,15 +196,7 @@ class SHT:
                         preferred_element_type=jnp.float32)
         Fi = jnp.einsum("...lm,mlh->...hm", ai, self._P,
                         preferred_element_type=jnp.float32)
-        F = jax.lax.complex(Fr, Fi)
-        nfreq = self.nlon // 2 + 1
-        if self.mmax < nfreq:
-            pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - self.mmax)]
-            F = jnp.pad(F, pad)
-        # irfft computes (1/W)[X_0 + 2 Σ_{m>0} Re(X_m e^{imφ})]; the real
-        # field is G_0 + 2 Σ_{m>0} Re(G_m e^{imφ}) with G_m = Σ_l a_lm P̄,
-        # so scale by W.
-        return jnp.fft.irfft(F, n=self.nlon, axis=-1) * self.nlon
+        return self._lon_inverse(Fr, Fi)
 
 
 @lru_cache(maxsize=8)

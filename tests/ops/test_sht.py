@@ -109,3 +109,30 @@ def test_matches_scipy_sph_harm():
         for l in range(m, 10):
             ref = sph_harm_y(l, m, th, 0.0).real
             np.testing.assert_allclose(Pg[m, l], ref, atol=1e-13)
+
+
+def test_matmul_lon_matches_fft():
+    """The truncated-DFT matmul longitude path (the TPU default — the
+    FFT computed all nlon/2+1 modes and dominated fcnv2_sm's step) must
+    match the FFT path to float32 precision, truncation included."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 65, 128)).astype(np.float32)
+    a = SHT(65, 128, lmax=33, mmax=33, lon_mode="matmul")
+    b = SHT(65, 128, lmax=33, mmax=33, lon_mode="fft")
+    fa = np.asarray(a.forward(jnp.asarray(x)))
+    fb = np.asarray(b.forward(jnp.asarray(x)))
+    np.testing.assert_allclose(fa, fb, atol=1e-6)
+    ya = np.asarray(a.inverse(jnp.asarray(fa)))
+    yb = np.asarray(b.inverse(jnp.asarray(fb)))
+    np.testing.assert_allclose(ya, yb, atol=1e-5)
+
+
+def test_matmul_lon_nyquist_weight():
+    """mmax covering the Nyquist mode must not double-count it."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 17, 16)).astype(np.float32)  # mmax = 9 = W/2+1
+    a = SHT(17, 16, lmax=17, mmax=9, lon_mode="matmul")
+    b = SHT(17, 16, lmax=17, mmax=9, lon_mode="fft")
+    ya = np.asarray(a.inverse(a.forward(jnp.asarray(x))))
+    yb = np.asarray(b.inverse(b.forward(jnp.asarray(x))))
+    np.testing.assert_allclose(ya, yb, atol=1e-5)
