@@ -82,6 +82,8 @@ if __name__ == "__main__":
             results = json.load(fh)
     except Exception:
         results = {"models": []}
+    if not isinstance(results.get("models"), list):
+        results["models"] = []
     results["device"] = str(jax.devices()[0])
     by_name = {m.get("model"): i for i, m in enumerate(results["models"])}
     for name in names:

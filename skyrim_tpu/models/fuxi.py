@@ -445,6 +445,13 @@ class FuXiModel(PrognosticModel):
         uncounted = max(cfg.depth - 2, 0)  # XLA prices one pair (2 blocks)
         return (uncounted * per_block_flops, uncounted * per_block_bytes)
 
+    def floor_params(self, params):
+        """Parameters one step actually reads: ``lax.switch`` selects a
+        single cascade stage, so the HBM floor counts one stage + norm,
+        not every resident stage (the all-stages sum inflated the floor
+        ~3x and could flip the roofline bound verdict)."""
+        return {"stages": list(params["stages"][:1]), "norm": params["norm"]}
+
     def trim_stages(self, params, n_steps: int):
         """Drop cascade stages a rollout of ``n_steps`` can never reach —
         the device then holds only the needed stage weights (the

@@ -25,11 +25,12 @@ shard must cover, i.e. the dynamic-slice offsets — the ring exchange
 itself is identical.  Level/latitude roll components stay local (those
 dims are not sharded on this path).
 
-Models opt in with ``lon_manual = True`` (Pangu, FuXi, FengWu — the
-window-attention family).  Spectral models (AFNO/SFNO) keep the GSPMD
-path by design: their token mixing is *global* (DFT/SHT), which XLA
-partitions with the appropriate all-to-all — a cover gather has no
-meaning there.
+Models opt in with ``lon_manual = True`` (Pangu, FengWu — the V1
+window-attention family; FuXi's Swin-V2 default ``attn_v2=True`` routes
+through GSPMD and only opts in here with ``attn_v2=False``).  Spectral
+models (AFNO/SFNO) keep the GSPMD path by design: their token mixing is
+*global* (DFT/SHT), which XLA partitions with the appropriate
+all-to-all — a cover gather has no meaning there.
 
 Replaces: nothing in the reference (it is single-GPU, SURVEY.md §2.10);
 this is the net-new scaling story of BASELINE.md (≥80% efficiency).

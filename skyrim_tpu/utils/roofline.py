@@ -93,9 +93,19 @@ def floor_bytes(model, params, state) -> float:
     Physical traffic can never be below this, so a roof computed from it
     can never exceed 100% (unlike the cost-model bytes, which count
     pre-fusion logical operands and overshoot on conv/fusion-heavy
-    models)."""
+    models).
+
+    A model whose step reads only a subset of its resident parameters
+    (FuXi's ``lax.switch`` touches one cascade stage) declares
+    ``floor_params(params)`` returning that subset — mirroring how
+    ``scan_cost_extra`` model-specializes the cost side — so the floor
+    stays a true lower bound instead of a 3x-inflated one."""
     import jax
     import numpy as np
+
+    sel = getattr(model, "floor_params", None)
+    if sel is not None:
+        params = sel(params)
 
     def nbytes(a):
         try:

@@ -621,9 +621,14 @@ def convert_graphcast(model, sd: Mapping):
     order models/graphcast.py factors (FactoredEdgeMLP)."""
     from skyrim_tpu.models.base import make_norm_params
 
+    import itertools
+
+    # peek at the underlying mapping so the dispatch probe does not mark
+    # tensors consumed (would weaken the unconsumed-tensor report)
+    raw = getattr(sd, "_sd", sd)
     if any(
         isinstance(v, Mapping) or "gnn" in str(k)
-        for k, v in list(sd.items())[:50]
+        for k, v in itertools.islice(raw.items(), 50)
     ):
         return convert_graphcast_haiku(model, sd)
 

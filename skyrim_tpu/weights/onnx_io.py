@@ -131,12 +131,14 @@ def _parse_tensor(buf: memoryview, base_dir: Path | None):
                     struct.unpack(f"<{len(val) // 4}f", bytes(val))
                 )
         elif field == 5:  # int32_data — standard non-raw storage for
-            # int32/int16/int8/uint8/bool/float16/bfloat16 initializers
+            # int32/int16/int8/uint8/bool/float16/bfloat16 initializers.
+            # Negative int32 is 64-bit sign-extended on the wire (proto3),
+            # so decode at full width; the astype below truncates.
             if wire == 0:
-                int32_data.append(_zigzag_signed(val, 32))
+                int32_data.append(_zigzag_signed(val, 64))
             else:
                 int32_data.extend(
-                    _zigzag_signed(v, 32) for v in _parse_packed_varints(val)
+                    _zigzag_signed(v, 64) for v in _parse_packed_varints(val)
                 )
         elif field == 7:  # int64_data
             if wire == 0:

@@ -132,6 +132,21 @@ def test_int32_data_field_int8():
     np.testing.assert_array_equal(out["q"], vals)
 
 
+def test_int32_data_negative_sign_extended():
+    # proto3 encodes negative int32 varints 64-bit sign-extended
+    # (-1 -> 2^64-1); decode must not overflow int64 (advisor r3)
+    vals = np.asarray([-1, -2147483648, 5], np.int32)
+    packed = b"".join(
+        onnx_io._varint(int(np.uint64(np.int64(v)))) for v in vals
+    )
+    body = onnx_io._tag(1, 0) + onnx_io._varint(3)
+    body += onnx_io._tag(2, 0) + onnx_io._varint(6)  # INT32
+    body += onnx_io._len_field(5, packed)
+    body += onnx_io._len_field(8, b"n")
+    out = onnx_io.read_onnx_initializers_from_bytes(_tensor_model(body))
+    np.testing.assert_array_equal(out["n"], vals)
+
+
 def test_double_data_field():
     vals = np.asarray([0.5, -1.25], np.float64)
     body = onnx_io._tag(1, 0) + onnx_io._varint(2)
