@@ -1,0 +1,168 @@
+"""Produce SCALING_r04.json: production-shape scaling evidence.
+
+Two tiers, both at the FULL 0.25-degree production resolution:
+
+1. collective accounting — compile the sharded step for the flagship
+   models at 2/4/8-way decompositions on the virtual mesh, parse every
+   collective XLA inserted (exact shapes from optimized HLO), and
+   project ICI scaling efficiency against the single-chip step wall
+   MEASURED on the real TPU (BENCH_SUITE.json).  See
+   skyrim_tpu/parallel/collective_analysis.py for the model + constants.
+2. toy measured runs — the oversubscribed-CPU-mesh harness shakeout
+   (same as SCALING_r03.json; validates the sharded code path executes,
+   not ICI).
+
+Usage:  python scaling_evidence.py            # full artifact
+        python scaling_evidence.py --fast     # pangu lon=4 only (smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _cpu_mesh(n: int):
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += f" --xla_force_host_platform_device_count={n}"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if len(jax.devices()) < n:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= n
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--out", default="SCALING_r04.json")
+    args = ap.parse_args()
+
+    _cpu_mesh(8)
+    # keep the fused Pallas kernels live so the manual path (the
+    # production configuration) is what gets compiled and accounted
+    os.environ["SKYRIM_FORCE_PALLAS"] = "1"
+
+    import jax
+    import numpy as np
+
+    from skyrim_tpu.parallel.collective_analysis import (
+        analyze_model, measured_step_wall,
+    )
+    from skyrim_tpu.parallel.mesh import make_mesh
+
+    def mesh_of(dp: int, lon: int):
+        n = dp * lon
+        return make_mesh(dp=dp, lat=1, lon=lon,
+                         devices=np.asarray(jax.devices()[:n]))
+
+    jobs: list[tuple[str, object, int, int]] = []  # name, model_fn, dp, lon
+
+    def pangu():
+        from skyrim_tpu.models.pangu import PanguModel
+
+        return PanguModel("pangu6")
+
+    def sfno():
+        from skyrim_tpu.models.sfno import FourCastNetV2Model
+
+        return FourCastNetV2Model()
+
+    def fengwu():
+        from skyrim_tpu.models.fengwu import FengWuModel
+
+        return FengWuModel()
+
+    if args.fast:
+        jobs = [("pangu", pangu, 1, 4)]
+    else:
+        # Pangu's half-res trunk has 180 lon tokens → lon must divide
+        # 180; the 8-chip production decomposition is dp=2 × lon=4
+        # (dp carries ensemble members / init times).
+        jobs = [
+            ("pangu", pangu, 1, 2),
+            ("pangu", pangu, 1, 4),
+            ("pangu", pangu, 2, 4),
+            ("fourcastnet_v2", sfno, 1, 2),
+            ("fourcastnet_v2", sfno, 1, 4),
+            ("fourcastnet_v2", sfno, 1, 8),
+            ("fengwu", fengwu, 1, 2),
+            ("fengwu", fengwu, 1, 4),
+            ("fengwu", fengwu, 2, 4),
+        ]
+
+    analyses = []
+    for name, model_fn, dp, lon in jobs:
+        t1 = measured_step_wall(name)
+        t0 = time.time()
+        model = model_fn()
+        try:
+            rec = analyze_model(model, mesh_of(dp, lon), t1)
+        except Exception as e:  # record, keep going
+            rec = {"error": f"{type(e).__name__}: {e}"[:300]}
+        rec["model"] = name
+        rec["compile_wall_s"] = round(time.time() - t0, 1)
+        analyses.append(rec)
+        print(json.dumps(rec), flush=True)
+        del model
+
+    # verdict: weakest flagship projection at the 8-device decomposition
+    eights = [
+        a["projection"]["projected_efficiency"]
+        for a in analyses
+        if a.get("projection", {}).get("devices") == 8
+    ]
+    verdict = {}
+    if eights:
+        worst = min(eights)
+        verdict = {
+            "min_projected_efficiency_8dev": worst,
+            "target": 0.8,
+            "meets_target": worst >= 0.8,
+            "note": (
+                "projection combines real-TPU single-chip step walls "
+                "(BENCH_SUITE.json) with per-step collective link bytes "
+                "parsed from the compiled full-resolution sharded step "
+                "and public v5e ICI bandwidth (45 GB/s/link one-way); "
+                "no compute/communication overlap assumed (conservative)"
+            ),
+        }
+
+    out = {
+        "resolution": "full production 721x1440 (per-model channels)",
+        "tier1_collective_accounting": analyses,
+        "verdict": verdict,
+    }
+
+    # tier 2: toy measured harness run (labeled; not ICI evidence)
+    if not args.fast:
+        from skyrim_tpu.parallel.scaling_bench import _tiny_model, run_scaling
+
+        model = _tiny_model("fourcastnet_v2")
+        toy = run_scaling(model, [1, 2, 4, 8], n_steps=4)
+        out["tier2_toy_measured"] = {
+            "note": (
+                "oversubscribed virtual CPU mesh — validates the sharded "
+                "code path end-to-end, NOT ICI scaling"
+            ),
+            "model": "fourcastnet_v2(tiny)",
+            "results": toy,
+        }
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
