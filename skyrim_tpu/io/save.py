@@ -21,6 +21,8 @@ from dataclasses import dataclass, field as _field
 from pathlib import Path
 from typing import Callable
 
+import numpy as np
+
 from skyrim_tpu.field import Field
 from skyrim_tpu.io.netcdf import read_netcdf, write_netcdf, write_netcdf_bytes
 from skyrim_tpu.io.zarrlite import ZarrStore, open_store, read_zarr
@@ -140,6 +142,103 @@ def save_forecast(
     write_netcdf(forecast, target)
     logger.success("saved %s", target)
     return str(target)
+
+
+def stream_save_forecast(
+    model,
+    params,
+    ic: "np.ndarray",
+    start_time: datetime.datetime,
+    n_steps: int,
+    ic_source: str = "file",
+    config: SaveConfig | dict | None = None,
+    save_dtype: str = "float32",
+    zlib_level: int = 1,
+    writer_threads: int = 4,
+) -> str:
+    """The production path: IC → streaming rollout → per-step zarr.
+
+    Three stages run concurrently (the reference serializes all of them,
+    skyrim/core/base.py:94-117 + common.py:148-160):
+
+    - TPU compute of step k+1 (``stream_rollout``'s donated jit),
+    - device→host copy of step k (async, overlapped by design),
+    - compress+write of step k−1 (a background writer thread; chunk
+      compression itself fans out over ``writer_threads``).
+
+    ``save_dtype="float16"`` casts on DEVICE before the fetch — halving
+    both transfer and compression bytes (weather fields fit f16's
+    range; the store records the dtype so readers see it).  Returns the
+    zarr target path after all steps are durable.
+    """
+    import queue
+    import threading
+
+    import jax.numpy as jnp
+
+    from skyrim_tpu.rollout import rollout_times, stream_rollout
+
+    if config is None:
+        config = SaveConfig()
+    elif isinstance(config, dict):
+        config = SaveConfig(**config)
+    np_dtype = np.dtype(save_dtype)
+    transfer = jnp.float16 if np_dtype == np.float16 else None
+
+    out_dir = config.output_dir.rstrip("/")
+    target = f"{out_dir}/{config.forecast_id}.zarr"
+    store = open_store(target, **config.zarr_store_config)
+    zs = ZarrStore(store, level=zlib_level, workers=writer_threads)
+
+    times = rollout_times(start_time, model.time_step, n_steps)
+    nchan = len(model.channels)
+    q: queue.Queue = queue.Queue(maxsize=2)  # bounds host frame memory
+    err: list[BaseException] = []
+
+    def writer():
+        try:
+            first = True
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                t, frame = item
+                f = Field.from_canonical(
+                    frame[None].astype(np_dtype, copy=False),
+                    [t], model.channels, model.grid.lat, model.grid.lon,
+                    attrs={"model": model.name, "ic_source": ic_source,
+                           "forecast_id": config.forecast_id},
+                )
+                if first:
+                    # channel-chunked layout → appends compress in
+                    # parallel across the writer pool
+                    zs.write_field(
+                        f, channel_chunk=max(1, nchan // writer_threads))
+                    first = False
+                else:
+                    zs.append_field(f)
+        except BaseException as e:  # surfaced to the caller below
+            err.append(e)
+
+    state = model.init_state(params, ic)
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    try:
+        for t, frame in zip(
+            times, stream_rollout(model, params, state, n_steps,
+                                  transfer_dtype=transfer)
+        ):
+            if err:
+                break
+            q.put((t, frame))
+    finally:
+        q.put(None)
+        th.join()
+    if err:
+        raise err[0]
+    zs.consolidate()
+    logger.success("streamed %d steps to %s", n_steps, target)
+    return target
 
 
 def _save_hf(forecast: Field, out_dir: str, config: SaveConfig) -> str:

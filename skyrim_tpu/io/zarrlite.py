@@ -109,10 +109,17 @@ def open_store(target, **storage_options) -> KVStore:
 
 
 class ZarrStore:
-    """A Zarr v2 group holding one chunked data variable + 1-D coords."""
+    """A Zarr v2 group holding one chunked data variable + 1-D coords.
 
-    def __init__(self, store: KVStore):
+    ``level`` is the zlib level written into chunk metadata (1 ≈ 2×
+    faster than the default 4 at ~equal ratio on weather fields — the
+    streaming production path uses it); ``workers`` > 1 compresses
+    chunks in a thread pool (zlib releases the GIL)."""
+
+    def __init__(self, store: KVStore, level: int = 4, workers: int = 1):
         self.store = store
+        self.level = int(level)
+        self.workers = int(workers)
 
     # -- metadata helpers ---------------------------------------------------
 
@@ -134,7 +141,7 @@ class ZarrStore:
             "shape": list(shape),
             "chunks": list(chunks),
             "dtype": dtype.str,
-            "compressor": {"id": "zlib", "level": 4},
+            "compressor": {"id": "zlib", "level": self.level},
             "fill_value": _FILL.get(kind, 0),
             "order": "C",
             "filters": None,
@@ -142,8 +149,26 @@ class ZarrStore:
 
     def _write_chunk(self, name: str, chunk_key: str, data: np.ndarray):
         self.store[f"{name}/{chunk_key}"] = zlib.compress(
-            np.ascontiguousarray(data).tobytes(), 4
+            np.ascontiguousarray(data).tobytes(), self.level
         )
+
+    def _write_chunks(self, name: str, items: list[tuple[str, np.ndarray]]):
+        """Compress + store chunks, in parallel when ``workers`` > 1."""
+        if self.workers > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(kv):
+                key, data = kv
+                blob = zlib.compress(
+                    np.ascontiguousarray(data).tobytes(), self.level)
+                return key, blob
+
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                for key, blob in pool.map(one, items):
+                    self.store[f"{name}/{key}"] = blob
+        else:
+            for key, data in items:
+                self._write_chunk(name, key, data)
 
     def write_array(
         self,
@@ -162,6 +187,7 @@ class ZarrStore:
         zattrs = {"_ARRAY_DIMENSIONS": list(dims)}
         zattrs.update(attrs or {})
         self._write_json(f"{name}/.zattrs", zattrs)
+        items = []
         for idx in np.ndindex(*[-(-s // c) for s, c in zip(data.shape, chunks)]):
             sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
             block = data[sl]
@@ -170,7 +196,8 @@ class ZarrStore:
                 pad = np.zeros(chunks, dtype=data.dtype)
                 pad[tuple(slice(0, s) for s in block.shape)] = block
                 block = pad
-            self._write_chunk(name, ".".join(map(str, idx)) or "0", block)
+            items.append((".".join(map(str, idx)) or "0", block))
+        self._write_chunks(name, items)
 
     def read_array(self, name: str) -> tuple[np.ndarray, list[str]]:
         meta = self._read_json(f"{name}/.zarray")
@@ -204,11 +231,17 @@ class ZarrStore:
             ".zmetadata", {"zarr_consolidated_format": 1, "metadata": meta}
         )
 
-    def write_field(self, field: Field, var_name: str = "forecast", time_chunk: int = 1):
+    def write_field(self, field: Field, var_name: str = "forecast",
+                    time_chunk: int = 1, channel_chunk: int | None = None):
+        """``channel_chunk`` splits the channel dim into multiple chunks
+        so per-step appends compress in parallel across ``workers``."""
         self._write_json(".zgroup", {"zarr_format": 2})
         self._write_json(".zattrs", dict(field.attrs))
         chunks = tuple(
-            time_chunk if d == "time" else s for d, s in field.sizes.items()
+            time_chunk if d == "time"
+            else (min(channel_chunk, s) if (d == "channel" and channel_chunk)
+                  else s)
+            for d, s in field.sizes.items()
         )
         data = field.data
         if data.dtype == np.float64:
@@ -243,12 +276,27 @@ class ZarrStore:
         if data.dtype == np.float64:
             data = data.astype(np.float32)
         data = data.astype(np.dtype(meta["dtype"]))
+        items = []
+        grid = [1 if d == ax else -(-s // c)
+                for d, (s, c) in enumerate(zip(data.shape, chunks))]
         for k in range(data.shape[ax]):
-            block = np.take(data, [k], axis=ax)
-            # pad to full chunk on non-append dims not needed: chunks match dims
-            idx = ["0"] * len(dims)
-            idx[ax] = str(old_n + k)
-            self._write_chunk(var_name, ".".join(idx), block)
+            frame = np.take(data, [k], axis=ax)
+            for idx in np.ndindex(*grid):
+                sl = tuple(
+                    slice(0, 1) if d == ax else slice(i * c, (i + 1) * c)
+                    for d, (i, c) in enumerate(zip(idx, chunks))
+                )
+                block = frame[sl]
+                want = tuple(1 if d == ax else c
+                             for d, c in enumerate(chunks))
+                if block.shape != want:  # pad partial edge chunks
+                    pad = np.zeros(want, dtype=data.dtype)
+                    pad[tuple(slice(0, s) for s in block.shape)] = block
+                    block = pad
+                key = [str(i) for i in idx]
+                key[ax] = str(old_n + k)
+                items.append((".".join(key), block))
+        self._write_chunks(var_name, items)
         meta["shape"][ax] += data.shape[ax]
         self._write_json(f"{var_name}/.zarray", meta)
         # extend the append-dim coord

@@ -297,6 +297,46 @@ def analyze_model(model, mesh, t_step_1chip_s: float | None) -> dict:
     return out
 
 
+def analyze_dp_ensemble(model, mesh, t_step_1chip_s: float | None) -> dict:
+    """Collective accounting for the dp-ensemble decomposition: N members
+    across the ``dp`` axis (core/ic_ensemble.py's production mode).
+    Members are independent rollouts, so the expected per-step ICI
+    traffic is ~zero — this verifies that claim against the compiled
+    graph rather than asserting it."""
+    import jax
+    import numpy as np
+
+    from skyrim_tpu.parallel.mesh import AXES
+    from skyrim_tpu.parallel.sharding import dp_ensemble_rollout
+
+    n = mesh.shape[AXES.dp]
+    params = model.init_params(jax.random.key(0))
+    x0 = np.zeros((n, *model.state_shape), np.float32)
+    run = dp_ensemble_rollout(model, mesh, n_steps=model.frames_out)
+    compiled = run.lower(params, x0).compile()
+    colls = collect_collectives(compiled.as_text(), n)
+    out = {
+        "mode": "dp_ensemble",
+        "mesh": dict(mesh.shape),
+        "grid": list(model.grid.shape) + [len(model.channels)],
+        "collectives": summarize(colls),
+    }
+    if t_step_1chip_s:
+        # dp splits members, not one member's step: ideal aggregate
+        # throughput is N× one chip; only collective time detracts
+        t_ici = out["collectives"]["total_ici_bytes"] / V5E_ICI_LINK_BW
+        eff = t_step_1chip_s / (t_step_1chip_s + t_ici)
+        out["projection"] = {
+            "devices": mesh.size,
+            "t_comp_s": round(t_step_1chip_s, 5),
+            "t_ici_s": round(t_ici, 6),
+            "projected_efficiency": round(eff, 4),
+            "binding_term": "compute" if t_step_1chip_s >= t_ici else "ici",
+            "t_step_1chip_s": t_step_1chip_s,
+        }
+    return out
+
+
 def measured_step_wall(model_name: str, path: str = "BENCH_SUITE.json") -> float | None:
     """Single-chip step wall measured on the real TPU (bench_suite.py)."""
     try:

@@ -60,9 +60,13 @@ def scan_rollout(
     return final_state, ys
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def _advance_jit(model: PrognosticModel, params: Params, state: ModelState):
-    return model.advance(params, state)
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2,))
+def _advance_jit(model: PrognosticModel, params: Params, state: ModelState,
+                 transfer_dtype=None):
+    state, y = model.advance(params, state)
+    if transfer_dtype is not None:
+        y = y.astype(transfer_dtype)
+    return state, y
 
 
 def stream_rollout(
@@ -70,8 +74,13 @@ def stream_rollout(
     params: Params,
     state: ModelState,
     n_steps: int,
+    transfer_dtype=None,
 ) -> Iterator[np.ndarray]:
-    """Yield each step's output (C, H, W) as numpy, overlapping D2H with compute."""
+    """Yield each step's output (C, H, W) as numpy, overlapping D2H with compute.
+
+    ``transfer_dtype`` (e.g. ``jnp.float16``) casts the output on device
+    before the fetch — halving device→host bytes for production paths
+    whose sink stores reduced precision anyway."""
     n_calls = -(-n_steps // model.frames_out)
     emitted = 0
     pending: jax.Array | None = None
@@ -84,7 +93,7 @@ def stream_rollout(
                 yield frame
 
     for _ in range(n_calls):
-        state, y = _advance_jit(model, params, state)
+        state, y = _advance_jit(model, params, state, transfer_dtype)
         y.copy_to_host_async()
         if pending is not None:
             yield from drain(pending)

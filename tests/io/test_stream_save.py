@@ -1,0 +1,128 @@
+"""The streaming production path: IC → rollout → per-step zarr.
+
+Covers the end-to-end product flow the reference markets ("complete
+global forecast in under 2 minutes", reference README.md:11 — serial
+rollout→save there, base.py:94-117): outputs on disk must match the
+on-device scan rollout bit-for-bit (f32) / to cast precision (f16),
+the store must be channel-chunked for parallel compression, and the
+streaming driver's wall must stay scan + a bounded constant."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from skyrim_tpu.io.save import SaveConfig, load_forecast, stream_save_forecast
+from skyrim_tpu.rollout import scan_rollout
+
+
+@pytest.fixture(scope="module")
+def small_dlwp():
+    from skyrim_tpu.grid import (
+        LatLonGrid,
+        cubed_sphere_to_latlon_indices,
+        latlon_to_cubed_sphere_indices,
+    )
+    from skyrim_tpu.models.dlwp import DLWPModel
+
+    model = DLWPModel(face_size=16, features=(8, 16))
+    model.grid = LatLonGrid(73, 144)
+    model._to_cs = latlon_to_cubed_sphere_indices(16, 73, 144)
+    model._to_ll = cubed_sphere_to_latlon_indices(16, 73, 144)
+    params = model.init_params(jax.random.key(0))
+    return model, params
+
+
+START = datetime.datetime(2024, 1, 1)
+
+
+def test_stream_save_matches_scan(small_dlwp, tmp_path):
+    model, params = small_dlwp
+    ic = np.random.default_rng(0).normal(size=(2, 7, 73, 144)).astype(np.float32)
+
+    target = stream_save_forecast(
+        model, params, ic, START, n_steps=3,
+        config=SaveConfig(forecast_id="t1", output_dir=str(tmp_path)),
+    )
+    saved = load_forecast(target)
+    assert saved.sizes["time"] == 3
+
+    state = model.init_state(params, ic)
+    _, ys = scan_rollout(model, params, state, n_steps=3)
+    got = saved.transpose("time", "channel", "lat", "lon").data
+    np.testing.assert_allclose(got, np.asarray(ys)[:3], atol=1e-6)
+    # times advance by the model step
+    t = saved.coords["time"]
+    assert (np.diff(t) == np.timedelta64(model.time_step, "us")).all()
+
+
+def test_stream_save_f16(small_dlwp, tmp_path):
+    model, params = small_dlwp
+    ic = np.random.default_rng(1).normal(size=(2, 7, 73, 144)).astype(np.float32)
+    target = stream_save_forecast(
+        model, params, ic, START, n_steps=2, save_dtype="float16",
+        config=SaveConfig(forecast_id="t2", output_dir=str(tmp_path)),
+    )
+    saved = load_forecast(target)
+    assert saved.data.dtype == np.float16
+    state = model.init_state(params, ic)
+    _, ys = scan_rollout(model, params, state, n_steps=2)
+    got = saved.transpose("time", "channel", "lat", "lon").data.astype(np.float32)
+    ref = np.asarray(ys)
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert (np.abs(got - ref) / scale).max() < 2e-3  # f16 cast precision
+
+
+def test_stream_save_channel_chunking(small_dlwp, tmp_path):
+    from skyrim_tpu.io.zarrlite import DirectoryStore, ZarrStore
+
+    model, params = small_dlwp
+    ic = np.random.default_rng(2).normal(size=(2, 7, 73, 144)).astype(np.float32)
+    target = stream_save_forecast(
+        model, params, ic, START, n_steps=2, writer_threads=4,
+        config=SaveConfig(forecast_id="t3", output_dir=str(tmp_path)),
+    )
+    zs = ZarrStore(DirectoryStore(target))
+    meta = zs._read_json("forecast/.zarray")
+    assert meta["chunks"][0] == 1  # time
+    assert meta["chunks"][1] < 7  # channel split for parallel compression
+    assert meta["compressor"]["level"] == 1  # streaming default
+    # round-trip through the chunked layout stays exact
+    data, dims = zs.read_array("forecast")
+    assert data.shape[0] == 2 and dims[0] == "time"
+
+
+def test_stream_wall_is_scan_plus_bounded_overhead(small_dlwp, tmp_path):
+    """The D2H/save overlap claim (rollout.py): streaming n steps costs
+    at most the scan wall plus a constant (per-step drain is overlapped),
+    not scan × a multiple.  Generous bound — CI boxes are noisy."""
+    model, params = small_dlwp
+    ic = np.random.default_rng(3).normal(size=(2, 7, 73, 144)).astype(np.float32)
+    n = 8
+
+    state = model.init_state(params, ic)
+    scan_rollout(model, params, state, n_steps=n)  # warm compile
+    state = model.init_state(params, ic)
+    t0 = time.perf_counter()
+    _, ys = scan_rollout(model, params, state, n_steps=n)
+    jax.block_until_ready(ys)
+    t_scan = time.perf_counter() - t0
+
+    stream_save_forecast(  # warm the stream jit too
+        model, params, ic, START, n_steps=1,
+        config=SaveConfig(forecast_id="w", output_dir=str(tmp_path)))
+    t0 = time.perf_counter()
+    stream_save_forecast(
+        model, params, ic, START, n_steps=n,
+        config=SaveConfig(forecast_id="t4", output_dir=str(tmp_path)),
+    )
+    t_stream = time.perf_counter() - t0
+    # bounded-constant envelope: compute+IO overlap means the streaming
+    # path may cost up to ~2x the pure-compute scan on a 2-core CI box
+    # (compression shares the cores), plus a fixed dispatch constant —
+    # but must not blow up multiplicatively beyond that
+    assert t_stream < 2.5 * t_scan + 2.0, (t_stream, t_scan)
