@@ -154,7 +154,7 @@ def stream_save_forecast(
     config: SaveConfig | dict | None = None,
     save_dtype: str = "float32",
     zlib_level: int = 1,
-    writer_threads: int = 4,
+    writer_threads: int | None = None,
 ) -> str:
     """The production path: IC → streaming rollout → per-step zarr.
 
@@ -184,6 +184,10 @@ def stream_save_forecast(
         config = SaveConfig(**config)
     np_dtype = np.dtype(save_dtype)
     transfer = jnp.float16 if np_dtype == np.float16 else None
+    if writer_threads is None:
+        # zlib releases the GIL: scale the compression pool with the
+        # host (TPU VMs have ~100+ vCPUs; keep a floor for small boxes)
+        writer_threads = min(32, max(4, (os.cpu_count() or 4) - 2))
 
     out_dir = config.output_dir.rstrip("/")
     target = f"{out_dir}/{config.forecast_id}.zarr"
