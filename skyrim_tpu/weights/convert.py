@@ -207,8 +207,32 @@ def convert_torch_file(model, path: str | Path):
     path = Path(path)
     if path.suffix.lower() == ".onnx":
         from skyrim_tpu.weights.onnx_io import read_onnx_initializers
+        from skyrim_tpu.weights.onnx_rename import looks_exporter_named
 
         sd = read_onnx_initializers(path)
+        if looks_exporter_named(sd):
+            # traced export: recover state-dict names from the topology
+            from skyrim_tpu.weights.onnx_io import read_onnx_graph
+            from skyrim_tpu.weights.onnx_rename import (
+                rename_fengwu_graph, rename_fuxi_graph,
+            )
+
+            graph = read_onnx_graph(path)
+            if model.name == "fengwu":
+                sd = rename_fengwu_graph(graph, model.cfg, model.n_history)
+            elif model.name == "fuxi":
+                raise ValueError(
+                    "FuXi ships one traced ONNX per cascade stage "
+                    "(short/medium/long); pass all of them to "
+                    "convert_fuxi_onnx_cascade(model, [paths...]) instead "
+                    "of convert_torch_file with a single file"
+                )
+            else:
+                logger.warning(
+                    "%s: exporter-named ONNX initializers and no rename "
+                    "pass for this family — conversion will likely fail "
+                    "with missing keys", model.name,
+                )
     else:
         import torch
 
@@ -730,14 +754,46 @@ def convert_fuxi(model, sd: Mapping):
         else (lambda p: _swin_block(sd, p, cfg.window))
     )
 
+    def updown(p: str, transpose_conv: bool) -> dict:
+        """FuXi down/up: accept BOTH our patch-merge GEMM layout and the
+        released strided-conv weights (ARCH_FIDELITY deviation 2).
+
+        A k=2/s=2 Conv2d over (H, W, Dc) is EXACTLY the 2×2 patch-merge
+        GEMM: down conv (D, Dc, 2, 2) reshapes losslessly to the (4Dc, D)
+        merge kernel with row order (ki, kj, c) — matching FuXiNet's
+        ``reshape(Hd,2,Wd,2,Dc).transpose(0,2,1,3,4)`` flatten; likewise
+        ConvTranspose2d (D, Dc, 2, 2) ≡ the (D, 4Dc) expand kernel.
+        Kernels with k≠stride (e.g. 3×3 stride-2) are NOT adaptable to a
+        patch GEMM and raise with that explanation."""
+        w = _t(sd[f"{p}.weight"])
+        if w.ndim == 2:  # our GEMM layout, torch (out, in)
+            return convert_linear(sd, p)
+        if w.ndim != 4 or w.shape[2] != 2 or w.shape[3] != 2:
+            raise ValueError(
+                f"{p}.weight has shape {w.shape}: only k=2/s=2 conv "
+                f"down/up weights map losslessly onto the patch-merge "
+                f"GEMM (a 3x3 stride-2 conv is a different function; "
+                f"see ARCH_FIDELITY.md deviation 2)"
+            )
+        if transpose_conv:  # ConvTranspose2d (D, Dc, 2, 2) → (D, 4Dc)
+            D_, Dc_ = w.shape[0], w.shape[1]
+            kern = w.transpose(0, 2, 3, 1).reshape(D_, 4 * Dc_)
+        else:  # Conv2d (D, Dc, 2, 2) → (4Dc, D)
+            D_, Dc_ = w.shape[0], w.shape[1]
+            kern = w.transpose(2, 3, 1, 0).reshape(4 * Dc_, D_)
+        out = {"kernel": np.ascontiguousarray(kern)}
+        if f"{p}.bias" in sd:
+            out["bias"] = _t(sd[f"{p}.bias"])
+        return out
+
     def one_stage(pre: str) -> dict:
         blocks = [block(f"{pre}.blocks.{i}") for i in range(cfg.depth)]
         return {
             "cube_embed": convert_conv2d(sd, f"{pre}.cube_embed"),
             "head": convert_convtranspose2d(sd, f"{pre}.head"),
             "down_norm": convert_layernorm(sd, f"{pre}.down_norm"),
-            "down": convert_linear(sd, f"{pre}.down"),
-            "up": convert_linear(sd, f"{pre}.up"),
+            "down": updown(f"{pre}.down", transpose_conv=False),
+            "up": updown(f"{pre}.up", transpose_conv=True),
             "up_norm": convert_layernorm(sd, f"{pre}.up_norm"),
             "fuse": convert_linear(sd, f"{pre}.fuse"),
             "pairs": {
@@ -800,6 +856,100 @@ def convert_fengwu(model, sd: Mapping):
         net[f"fuser_{i}"] = _swin_block(sd, f"fuser.{i}", cfg.window)
     nc = cfg.in_channels
     return {"net": net, "norm": _convert_norm_stats(sd, nc) or make_norm_params(nc)}
+
+
+def convert_fuxi_onnx_cascade(model, paths):
+    """The released FuXi cascade: one traced ONNX per stage
+    (short/medium/long — reference fuxi.py:53-54 loads them the same
+    way).  Each file's exporter-named initializers are renamed to
+    ``stages.{s}.*`` via the topology pass (weights/onnx_rename.py),
+    then the merged dict converts through :func:`convert_fuxi`."""
+    from skyrim_tpu.weights.onnx_io import read_onnx_graph
+    from skyrim_tpu.weights.onnx_rename import rename_fuxi_graph
+
+    paths = list(paths)
+    if len(paths) != model.cfg.n_stages:
+        raise ValueError(
+            f"FuXi cascade needs {model.cfg.n_stages} stage artifacts "
+            f"(short/medium/long), got {len(paths)}"
+        )
+    sd: dict = {}
+    for s, path in enumerate(paths):
+        graph = read_onnx_graph(path)
+        sd.update(rename_fuxi_graph(
+            graph, model.cfg, stage=s, n_history=model.n_history))
+    tracked = _TrackedSD(sd)
+    out = convert_fuxi(model, tracked)
+    tracked.report(model.name)
+    return out
+
+
+def fengwu_config_from_sd(sd: Mapping, lat: int = 721, lon: int = 1440,
+                          n_history: int = 2):
+    """Derive FengWuConfig widths from a (torch-style-named) checkpoint
+    instead of hardcoding guesses — whatever the real artifact is, the
+    model then matches it (ARCH_FIDELITY.md deviation 4)."""
+    from skyrim_tpu.models.fengwu import FengWuConfig
+    from skyrim_tpu.ops.windows import earth_bias_table_size
+
+    enc0 = np.asarray(sd["encoders.0.weight"])  # (md, hist·surf, p, p)
+    md, hs, p, _ = enc0.shape
+    surface = hs // n_history
+    fuse = np.asarray(sd["fuse_in.weight"])  # (D, groups·md)
+    D = fuse.shape[0]
+    n_groups = fuse.shape[1] // md
+    level_vars = n_groups - 1
+    levels = np.asarray(sd["encoders.1.weight"]).shape[1] // n_history \
+        if n_groups > 1 else 13
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("fuser.")
+    )
+    table = np.asarray(sd["fuser.0.attn.relative_position_bias_table"])
+    n_rel, heads = table.shape
+    window = None
+    for wh, ww in ((6, 12), (4, 8), (8, 16), (2, 4), (3, 6), (7, 14), (2, 2)):
+        if earth_bias_table_size((1, wh, ww)) == n_rel:
+            window = (wh, ww)
+            break
+    if window is None:
+        raise ValueError(
+            f"cannot infer fuser window from bias table rows {n_rel}")
+    return FengWuConfig(
+        lat=lat, lon=lon, levels=int(levels), surface_channels=int(surface),
+        level_vars=int(level_vars), modal_dim=int(md), fuser_dim=int(D),
+        depth=int(depth), num_heads=int(heads), window=window, patch=int(p),
+    )
+
+
+def load_fengwu_from_artifact(path: str | Path, lat: int = 721,
+                              lon: int = 1440):
+    """(model, params) for a real FengWu artifact, with the config
+    DERIVED from the checkpoint's own tensor shapes."""
+    from skyrim_tpu.models.fengwu import FengWuModel
+    from skyrim_tpu.weights.onnx_io import read_onnx_graph
+    from skyrim_tpu.weights.onnx_rename import (
+        fengwu_config_from_graph, looks_exporter_named, rename_fengwu_graph,
+    )
+
+    path = Path(path)
+    if path.suffix.lower() == ".onnx":
+        graph = read_onnx_graph(path)
+        if looks_exporter_named(graph["initializers"]):
+            cfg = fengwu_config_from_graph(graph, lat=lat, lon=lon)
+            sd = rename_fengwu_graph(graph, cfg, n_history=2)
+        else:
+            sd = graph["initializers"]
+            cfg = fengwu_config_from_sd(sd, lat=lat, lon=lon)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        cfg = fengwu_config_from_sd(sd, lat=lat, lon=lon)
+    model = FengWuModel(cfg)
+    tracked = _TrackedSD(sd)
+    params = convert_fengwu(model, tracked)
+    tracked.report(model.name)
+    return model, params
 
 
 CONVERTERS = {

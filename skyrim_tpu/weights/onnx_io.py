@@ -287,6 +287,69 @@ def read_onnx_initializers_from_bytes(
     return out
 
 
+def _parse_node(buf: memoryview):
+    """NodeProto topology: input (1), output (2), name (3), op_type (4)."""
+    inputs: list[str] = []
+    outputs: list[str] = []
+    name = ""
+    op_type = ""
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            inputs.append(bytes(val).decode())
+        elif field == 2 and wire == 2:
+            outputs.append(bytes(val).decode())
+        elif field == 3 and wire == 2:
+            name = bytes(val).decode()
+        elif field == 4 and wire == 2:
+            op_type = bytes(val).decode()
+    return {"op_type": op_type, "name": name, "inputs": inputs, "outputs": outputs}
+
+
+def _valueinfo_name(buf: memoryview) -> str:
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            return bytes(val).decode()
+    return ""
+
+
+def read_onnx_graph(path: str | Path) -> dict:
+    path = Path(path)
+    return read_onnx_graph_from_bytes(path.read_bytes(), base_dir=path.parent)
+
+
+def read_onnx_graph_from_bytes(data: bytes, base_dir: Path | None = None) -> dict:
+    """Full graph topology for the exporter-name rename pass
+    (weights/onnx_rename.py): initializers + node list (op_type, inputs,
+    outputs, in serialized order — exporters emit topological order) +
+    graph input/output names."""
+    data = memoryview(data)
+    out = {
+        "initializers": {},
+        "nodes": [],
+        "inputs": [],
+        "outputs": [],
+    }
+    for field, wire, val in _fields(data):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            for f2, w2, v2 in _fields(val):
+                if f2 == 5 and w2 == 2:  # initializer
+                    name, arr = _parse_tensor(v2, base_dir)
+                    out["initializers"][name] = arr
+                elif f2 == 1 and w2 == 2:  # node
+                    node = _parse_node(v2)
+                    out["nodes"].append(node)
+                    got = _parse_constant_node(v2, base_dir)
+                    if got is not None:
+                        out["initializers"][got[0]] = got[1]
+                elif f2 == 11 and w2 == 2:  # graph input
+                    out["inputs"].append(_valueinfo_name(v2))
+                elif f2 == 12 and w2 == 2:  # graph output
+                    out["outputs"].append(_valueinfo_name(v2))
+    if not out["nodes"] and not out["initializers"]:
+        raise ValueError("no graph content found (not an ONNX model?)")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # writer (tests only): a minimal ModelProto with just graph.initializer
 # ---------------------------------------------------------------------------
@@ -327,9 +390,34 @@ def _tensor_proto(name: str, arr: np.ndarray) -> bytes:
     return body
 
 
-def build_onnx(tensors: dict[str, np.ndarray]) -> bytes:
-    """Serialize {name: array} as a minimal ONNX ModelProto."""
-    graph = b"".join(_len_field(5, _tensor_proto(n, a)) for n, a in tensors.items())
+def _node_proto(op_type: str, inputs, outputs, name: str = "") -> bytes:
+    body = b"".join(_len_field(1, i.encode()) for i in inputs)
+    body += b"".join(_len_field(2, o.encode()) for o in outputs)
+    if name:
+        body += _len_field(3, name.encode())
+    body += _len_field(4, op_type.encode())
+    return body
+
+
+def build_onnx(
+    tensors: dict[str, np.ndarray],
+    nodes: list[tuple[str, list[str], list[str]]] | None = None,
+    graph_inputs: tuple[str, ...] = (),
+    graph_outputs: tuple[str, ...] = (),
+) -> bytes:
+    """Serialize {name: array} (+ optional (op_type, inputs, outputs)
+    node topology) as a minimal ONNX ModelProto — lets tests synthesize
+    exporter-shaped traced graphs for the rename pass."""
+    graph = b"".join(
+        _len_field(1, _node_proto(op, ins, outs)) for op, ins, outs in nodes or []
+    )
+    graph += b"".join(_len_field(5, _tensor_proto(n, a)) for n, a in tensors.items())
+    graph += b"".join(
+        _len_field(11, _len_field(1, n.encode())) for n in graph_inputs
+    )
+    graph += b"".join(
+        _len_field(12, _len_field(1, n.encode())) for n in graph_outputs
+    )
     model = _tag(1, 0) + _varint(8)  # ir_version
     model += _len_field(7, graph)
     return model
