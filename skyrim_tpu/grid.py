@@ -158,6 +158,117 @@ def latlon_to_cubed_sphere_indices(
     return idx, w
 
 
+def _inverse_gnomonic(q: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`_face_xyz`: unit vectors → (face, a, b).
+
+    ``q`` is (..., 3); returns int face ids and equiangular face coords
+    a, b ∈ [−π/4·(1+ε), π/4·(1+ε)] (points assigned to a face by the
+    max-|component| rule sit within the face up to roundoff).
+    """
+    X, Y, Z = q[..., 0], q[..., 1], q[..., 2]
+    ax, ay, az = np.abs(X), np.abs(Y), np.abs(Z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(X > 0, 0, 2),
+        np.where(ay >= az, np.where(Y > 0, 1, 3), np.where(Z > 0, 4, 5)),
+    )
+    # tan(a), tan(b) per face (derived from _face_xyz's stacking order)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [Y / X, -X / Y, Y / X, -X / Y, Y / Z, -Y / Z],
+        )
+        tb = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [Z / X, Z / Y, -Z / X, -Z / Y, -X / Z, -X / Z],
+        )
+    return face, np.arctan(ta), np.arctan(tb)
+
+
+@lru_cache(maxsize=8)
+def cubed_sphere_to_latlon_patch(
+    face_size: int = 64, nlat: int = 721, nlon: int = 1440
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear 2×2-patch tables cubed sphere → lat-lon (TPU-friendly).
+
+    For every lat-lon point, locates the enclosing 2×2 patch of
+    cubed-sphere cell centers in equiangular face coordinates and
+    returns ``(starts, w)``:
+
+    - ``starts`` int32 (nlat·nlon, 2): gather start ``(row, col)`` into a
+      halo-padded channel-minor table of shape ``(6·(F+2), (F+2)·D)``
+      (row = face·(F+2) + pb0, col = pa0; the caller scales col by its
+      channel count D).  A ``lax.gather`` with slice sizes ``(2, 2·D)``
+      then fetches the whole 2×2 neighborhood as one x-contiguous row —
+      the layout that avoids the 9× lane-padding a per-neighbor
+      ``(dst·4, D)`` row gather suffers in T(8,128) tiles (measured
+      with utils/op_stats: ~80 % of the DLWP step).
+    - ``w`` float32 (nlat·nlon, 4): bilinear weights ordered
+      (b0a0, b0a1, b1a0, b1a1), matching the slice layout
+      ``patch[:, db, da·D:(da+1)·D]``.
+
+    Halo cells (pad 1) come from :func:`cubed_sphere_halo_indices`, so
+    interpolation across face boundaries uses the nearest neighbor-face
+    cell — O(h) in the 1-cell boundary band, linear-exact elsewhere
+    (the 4-NN inverse-distance map this replaces was O(h) everywhere).
+    """
+    grid = LatLonGrid(nlat, nlon)
+    F = face_size
+    glat = np.deg2rad(grid.lat)[:, None] * np.ones((1, nlon))
+    glon = np.deg2rad(grid.lon)[None, :] * np.ones((nlat, 1))
+    q = np.stack(
+        [np.cos(glat) * np.cos(glon), np.cos(glat) * np.sin(glon), np.sin(glat)],
+        axis=-1,
+    ).reshape(-1, 3)
+    face, a, b = _inverse_gnomonic(q)
+
+    # fractional cell coords: centers at (i+0.5)/F·(π/2) − π/4 ⇒ f(a)=i
+    fa = a / (np.pi / 2) * F + F / 2 - 0.5
+    fb = b / (np.pi / 2) * F + F / 2 - 0.5
+    a0 = np.floor(fa).astype(np.int64)
+    b0 = np.floor(fb).astype(np.int64)
+    da = (fa - a0).astype(np.float32)
+    db = (fb - b0).astype(np.float32)
+    # padded-face indices (halo pad 1): valid starts 0..F (slice of 2)
+    pa0 = np.clip(a0 + 1, 0, F)
+    pb0 = np.clip(b0 + 1, 0, F)
+
+    starts = np.stack([face * (F + 2) + pb0, pa0], axis=-1).astype(np.int32)
+    w = np.stack(
+        [(1 - db) * (1 - da), (1 - db) * da, db * (1 - da), db * da], axis=-1
+    ).astype(np.float32)
+    return starts, w
+
+
+@lru_cache(maxsize=8)
+def latlon_to_cubed_sphere_patch(
+    face_size: int = 64, nlat: int = 721, nlon: int = 1440
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear 2×2-patch tables lat-lon → cubed sphere.
+
+    Same contract as :func:`cubed_sphere_to_latlon_patch` but the gather
+    operand is the lat-lon field as a channel-minor table
+    ``(nlat, (nlon+1)·D)`` with one wrap-padded longitude column
+    (col = j0, row = i0; caller scales col by D; slice sizes (2, 2·D)).
+    """
+    grid = LatLonGrid(nlat, nlon)
+    cs = CubedSphereGrid(face_size)
+    lat_q, lon_q = cs.latlon  # (6, F, F)
+
+    fi = (90.0 - lat_q) / (180.0 / (nlat - 1))
+    fj = (lon_q % 360.0) / grid.resolution_deg
+    i0 = np.clip(np.floor(fi).astype(np.int64), 0, nlat - 2)
+    j0 = np.floor(fj).astype(np.int64) % nlon
+    di = (fi - i0).astype(np.float32)
+    dj = (fj - j0).astype(np.float32)
+
+    starts = np.stack([i0, j0], axis=-1).reshape(-1, 2).astype(np.int32)
+    w = np.stack(
+        [(1 - di) * (1 - dj), (1 - di) * dj, di * (1 - dj), di * dj], axis=-1
+    ).reshape(-1, 4).astype(np.float32)
+    return starts, w
+
+
 @lru_cache(maxsize=8)
 def cubed_sphere_to_latlon_indices(
     face_size: int = 64, nlat: int = 721, nlon: int = 1440

@@ -106,49 +106,100 @@ class DLWPModel(PrognosticModel):
             out_channels=self.frames_out * nc, face_size=face_size, features=features
         )
         H, W = self.grid.shape
-        self._to_cs = g.latlon_to_cubed_sphere_indices(face_size, H, W)
-        self._to_ll = g.cubed_sphere_to_latlon_indices(face_size, H, W)
+        self._to_cs = g.latlon_to_cubed_sphere_patch(face_size, H, W)
+        self._to_ll = g.cubed_sphere_to_latlon_patch(face_size, H, W)
 
-    # -- remaps (static gathers) -------------------------------------------
+    # -- remaps (static quad-row gathers) ----------------------------------
 
-    # Both remaps run CHANNEL-MINOR: gathering along the minor axis of a
-    # (N, C, points) tensor lowers as strided element gathers in
-    # T(2,128) layouts (~41 ms/step of relayout copies, measured with
-    # utils/op_stats).  Row gathers on a (points, N·C) table keep
-    # everything in plain T(8,128); the (rows·k, NC) → (rows, k·NC)
-    # reinterpret is a free bitcast, and the weighted sum runs on flat
-    # lane slices.
+    # Each destination point fetches its whole 2×2 bilinear patch as ONE
+    # row of a precomputed "quad table" whose row (r, c) holds the
+    # 4·D-value concatenation of grid cells (r..r+1, c..c+1) — built by
+    # four static slices + one concat, all wide copies.  Rationale,
+    # measured with utils/op_stats on the v5e:
+    #   * a per-neighbor (dst·4, D=14) row gather wastes 9× of every
+    #     T(8,128) tile on lane padding (14 of 128 live lanes), forces a
+    #     2.1 GB physical intermediate plus a reshape and a relayout
+    #     copy — ~80 % of the step;
+    #   * a (2, 2·D)-slice lax.gather avoids the padding but falls off
+    #     XLA:TPU's fast whole-row gather emitter and lowers to a serial
+    #     while loop (~1.8 s for the 1 M destinations);
+    #   * a whole-row gather of 4·D=56-value quad rows stays on the fast
+    #     emitter at 56/128 lane occupancy with no reshape, and the
+    #     bilinear combination fuses into the gather consumer.
 
-    def _interp_rows(self, table: jax.Array, idx, w) -> jax.Array:
-        """table (src_points, D); idx (dst, k); w (dst, k) → (dst, D)."""
-        k = idx.shape[-1]
-        D = table.shape[-1]
-        g = table[jnp.asarray(idx.reshape(-1))]  # (dst·k, D) row gather
-        g = g.reshape(-1, k * D)  # free reinterpret
-        wf = jnp.asarray(w.reshape(-1, k))
-        out = None
-        for j in range(k):
-            part = wf[:, j : j + 1] * g[:, j * D : (j + 1) * D]
-            out = part if out is None else out + part
-        return out
+    def _quad_interp(self, t: jax.Array, rows, w, D: int) -> jax.Array:
+        """t (R, Cc, D) cell grid; rows (M,) flat into (R−1)·(Cc−1);
+        w (M, 4) bilinear weights ordered (r0c0, r0c1, r1c0, r1c1).
+
+        Returns (M, D) in ``t.dtype``.  The whole pipeline stays in the
+        compute dtype: upcasting the (M, 4D) patch to f32 before the
+        weighted sum materializes an extra ~330 MB relayout+convert pair
+        (measured), for an interpolation whose inputs are bf16 anyway.
+        """
+        quad = jnp.concatenate(
+            [t[:-1, :-1], t[:-1, 1:], t[1:, :-1], t[1:, 1:]], axis=-1
+        )  # (R−1, Cc−1, 4D)
+        table = quad.reshape(-1, 4 * D)
+        p = table[jnp.asarray(rows)]  # (M, 4D) whole-row gather (fast emitter)
+        wf = jnp.asarray(w).astype(t.dtype)
+        return (
+            wf[:, 0:1] * p[:, :D]
+            + wf[:, 1:2] * p[:, D : 2 * D]
+            + wf[:, 2:3] * p[:, 2 * D : 3 * D]
+            + wf[:, 3:4] * p[:, 3 * D :]
+        )
 
     def _remap_to_cs(self, x: jax.Array) -> jax.Array:
-        """(N, C, H, W) → (N, 6, F, F, C)."""
-        idx, w = self._to_cs
-        N, C = x.shape[:2]
+        """(N, C, H, W) → (N, 6, F, F, C).
+
+        Here dst (6F² ≈ 25 k) ≪ src (1 M lat-lon points), so a quad
+        table over the source grid would cost a ~265 MB physical build
+        for 25 k used rows (measured 2.3× slower).  A narrow per-neighbor
+        row gather on the packed (H·W, N·C) table is the cheap direction
+        — the reverse trade-off from :meth:`_remap_to_ll`.
+        """
+        starts, w = self._to_cs
+        N, C, H, W = x.shape
         F = self.face_size
-        table = x.reshape(N * C, -1).T  # (H·W, N·C)
-        out = self._interp_rows(table, idx.reshape(-1, idx.shape[-1]), w)
+        D = N * C
+        i0 = starts[:, 0].astype(np.int64)
+        j0 = starts[:, 1].astype(np.int64)
+        j1 = (j0 + 1) % W  # longitude wrap
+        idx = np.stack(
+            [i0 * W + j0, i0 * W + j1, (i0 + 1) * W + j0, (i0 + 1) * W + j1], -1
+        ).astype(np.int32)
+        table = x.reshape(N * C, -1).T  # (H·W, N·C), packs {0,1}
+        g4 = table[jnp.asarray(idx.reshape(-1))].reshape(-1, 4 * D)
+        wf = jnp.asarray(w).astype(x.dtype)
+        out = (
+            wf[:, 0:1] * g4[:, :D]
+            + wf[:, 1:2] * g4[:, D : 2 * D]
+            + wf[:, 2:3] * g4[:, 2 * D : 3 * D]
+            + wf[:, 3:4] * g4[:, 3 * D :]
+        )
         out = out.reshape(6, F, F, N, C)
         return jnp.moveaxis(out, 3, 0)  # (N, 6, F, F, C)
 
     def _remap_to_ll(self, x: jax.Array) -> jax.Array:
         """(N, 6, F, F, C) → (N, C, H, W)."""
-        idx, w = self._to_ll
+        starts, w = self._to_ll
         N, C = x.shape[0], x.shape[-1]
-        H, W = idx.shape[:2]
-        table = x.reshape(N, -1, C).transpose(1, 0, 2).reshape(-1, N * C)
-        out = self._interp_rows(table, idx.reshape(-1, idx.shape[-1]), w)
+        H, W = self.grid.shape
+        F = self.face_size
+        F2 = F + 2
+        D = N * C
+        halo = g.cubed_sphere_halo_indices(F, 1)  # (6, F2, F2)
+        flat = x.reshape(N, 6 * F * F, C)
+        padded = flat[:, halo.reshape(-1)]  # (N, 6·F2², C): 26 k rows, cheap
+        t = (
+            padded.reshape(N, 6 * F2, F2, C)
+            .transpose(1, 2, 0, 3)
+            .reshape(6 * F2, F2, D)
+        )
+        # quad rows never straddle a face band: start row f·F2+pb0 has
+        # pb0 ≤ F, so row+1 ≤ f·F2 + F+1 stays inside face f's padding
+        rows = starts[:, 0].astype(np.int64) * (F2 - 1) + starts[:, 1]
+        out = self._quad_interp(t, rows.astype(np.int32), w, D)
         out = out.reshape(H, W, N, C)
         return out.transpose(2, 3, 0, 1)  # (N, C, H, W)
 
@@ -171,7 +222,7 @@ class DLWPModel(PrognosticModel):
         cs = self._remap_to_cs(xn)  # (hist, 6, F, F, C)
         stacked = jnp.concatenate(
             [cs[i] for i in range(self.n_history)], axis=-1
-        )[None]  # (1, 6, F, F, hist*C)
+        )[None].astype(self.compute_dtype)  # (1, 6, F, F, hist*C)
         y = self.module.apply({"params": params["net"]}, stacked)[0]
         # (6, F, F, frames_out*nc) → (frames_out, 6, F, F, nc)
         y = y.reshape(6, self.face_size, self.face_size, self.frames_out, nc)

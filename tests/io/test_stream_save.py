@@ -24,15 +24,15 @@ from skyrim_tpu.rollout import scan_rollout
 def small_dlwp():
     from skyrim_tpu.grid import (
         LatLonGrid,
-        cubed_sphere_to_latlon_indices,
-        latlon_to_cubed_sphere_indices,
+        cubed_sphere_to_latlon_patch,
+        latlon_to_cubed_sphere_patch,
     )
     from skyrim_tpu.models.dlwp import DLWPModel
 
     model = DLWPModel(face_size=16, features=(8, 16))
     model.grid = LatLonGrid(73, 144)
-    model._to_cs = latlon_to_cubed_sphere_indices(16, 73, 144)
-    model._to_ll = cubed_sphere_to_latlon_indices(16, 73, 144)
+    model._to_cs = latlon_to_cubed_sphere_patch(16, 73, 144)
+    model._to_ll = cubed_sphere_to_latlon_patch(16, 73, 144)
     params = model.init_params(jax.random.key(0))
     return model, params
 

@@ -13,8 +13,8 @@ def small_dlwp():
 
     model = DLWPModel(face_size=16, features=(8, 16))
     model.grid = LatLonGrid(73, 144)
-    model._to_cs = __import__("skyrim_tpu.grid", fromlist=["g"]).latlon_to_cubed_sphere_indices(16, 73, 144)
-    model._to_ll = __import__("skyrim_tpu.grid", fromlist=["g"]).cubed_sphere_to_latlon_indices(16, 73, 144)
+    model._to_cs = __import__("skyrim_tpu.grid", fromlist=["g"]).latlon_to_cubed_sphere_patch(16, 73, 144)
+    model._to_ll = __import__("skyrim_tpu.grid", fromlist=["g"]).cubed_sphere_to_latlon_patch(16, 73, 144)
     params = model.init_params(jax.random.key(0))
     return model, params
 

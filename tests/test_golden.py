@@ -20,8 +20,8 @@ GOLDEN = json.loads((Path(__file__).parent / "golden_values.json").read_text())
 def _build(name):
     from skyrim_tpu.grid import (
         LatLonGrid,
-        cubed_sphere_to_latlon_indices,
-        latlon_to_cubed_sphere_indices,
+        cubed_sphere_to_latlon_patch,
+        latlon_to_cubed_sphere_patch,
     )
     from skyrim_tpu.models.afno import AFNOConfig, FourCastNetModel
     from skyrim_tpu.models.dlwp import DLWPModel
@@ -54,8 +54,8 @@ def _build(name):
     if name == "dlwp":
         m = DLWPModel(face_size=16, features=(8, 16))
         m.grid = LatLonGrid(73, 144)
-        m._to_cs = latlon_to_cubed_sphere_indices(16, 73, 144)
-        m._to_ll = cubed_sphere_to_latlon_indices(16, 73, 144)
+        m._to_cs = latlon_to_cubed_sphere_patch(16, 73, 144)
+        m._to_ll = cubed_sphere_to_latlon_patch(16, 73, 144)
         return m
     raise KeyError(name)
 
