@@ -51,11 +51,20 @@ def bench_model(name: str, n_steps: int = 8) -> dict:
     per_step = max((t_long - t_short) / max(n_long - n_short, 1), 1e-9)
     H, W = model.grid.shape
     try:
+        from skyrim_tpu.utils.hlo_bytes import step_physical_bytes
         from skyrim_tpu.utils.roofline import floor_bytes, roofline, step_cost
 
         flops, bytes_ = step_cost(model, params, state0)
-        roof = roofline(per_step, flops, bytes_,
-                        bytes_floor=floor_bytes(model, params, state0))
+        try:
+            phys = float(step_physical_bytes(model, params, state0))
+        except Exception:
+            phys = None
+        # advance() emits frames_out frames; per_step is per frame —
+        # normalize the per-advance cost figures to match
+        fo = model.frames_out
+        roof = roofline(per_step, flops / fo, bytes_ / fo,
+                        bytes_floor=floor_bytes(model, params, state0) / fo,
+                        bytes_physical=None if phys is None else phys / fo)
     except Exception as e:
         roof = {"error": str(e)[:120]}
     return {
