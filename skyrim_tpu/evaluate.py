@@ -109,3 +109,40 @@ def score_table(pred: Field, truth: Field, climatology: Field | None = None) -> 
     }
     out["lead_times"] = [str(t) for t in np.asarray(pred.coords["time"])]
     return out
+
+
+def benchmark_model(
+    skyrim,
+    cds,
+    date: str,
+    time: str = "0000",
+    lead_time: int = 24,
+    climatology: Field | None = None,
+) -> dict:
+    """End-to-end skill scoring: model forecast → ERA5 truth → scores.
+
+    Mirrors the reference's benchmark loop (reference
+    skyrim/libs/benchmark/cds.py:412-428, whose ``benchmark()``
+    deliberately mirrors ``Skyrim.predict``'s signature): run the model
+    over the floored lead time, fetch the reanalysis truth series for
+    the SAME valid times through ``CDS.benchmark``, align on common
+    channels/times, and return :func:`score_table` — the scoring step
+    the reference's roadmap names but never built.
+
+    ``skyrim`` is a ``core.skyrim.Skyrim`` facade or a ``GlobalModel``;
+    ``cds`` is a ``data.cds.CDS`` client (stub its transport for
+    offline use, as the tests do).
+    """
+    import datetime as _dt
+
+    start = _dt.datetime(
+        int(date[:4]), int(date[4:6]), int(date[6:8]),
+        int(time[:2]), int(time[2:4]),
+    )
+    model = getattr(skyrim, "model", skyrim)
+    step_h = int(model.time_step.total_seconds() // 3600)
+    lead = max((lead_time // step_h) * step_h, step_h)
+    n_steps = lead // step_h
+    pred = model.forecast(start, n_steps=n_steps)
+    truth = cds.benchmark(date=date, time=time, lead_time=lead, time_step=step_h)
+    return score_table(pred, truth, climatology)
