@@ -460,7 +460,24 @@ class FuXiModel(PrognosticModel):
         k = max(1, min(-(-n_steps // self.cfg.stage_steps), self.cfg.n_stages))
         return {**params, "stages": list(params["stages"][:k])}
 
+    def quantize_params(self, params, min_size: int = 65536):
+        """Weight-only int8 at rest for the cascade stages (norm stats
+        stay exact).  Three ~1.37 B stages drop 8.2 → 4.1 GB resident;
+        ``_forward`` dequantizes inside the taken ``lax.switch`` branch,
+        so only the selected stage materializes in bf16 — a full 15-day
+        cascade fits one 16 GB chip without ``trim_stages`` swapping
+        (reference roadmap README.md:145 "quantization")."""
+        from skyrim_tpu.quantize import quantize_tree
+
+        return {
+            **params,
+            "stages": [quantize_tree(s, min_size) for s in params["stages"]],
+        }
+
     def _forward(self, net_params, params, x):
+        from skyrim_tpu.quantize import maybe_dequantize
+
+        net_params = maybe_dequantize(net_params)
         nc = self.cfg.in_channels
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
         stacked = xn.reshape(self.n_history * nc, *x.shape[-2:])
