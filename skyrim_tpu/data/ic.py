@@ -79,6 +79,28 @@ _CLIMATOLOGY = {
 }  # fmt: skip
 
 
+def climatology_stats(channel_name: str) -> tuple[float, float]:
+    """Rough climatological (mean, std) for one channel, level-adjusted.
+
+    Shared by SyntheticSource (IC generation) and the stability harness
+    (utils/stability.py), which sets model normalization stats to the
+    SAME climatology so a synthetic IC enters the net as ~N(0,1) — the
+    offline analog of a trained artifact's bundled stats.
+    """
+    c = parse_channel(channel_name)
+    mean, std = _CLIMATOLOGY.get(c.var, (0.0, 1.0))
+    if c.level is not None:
+        # scale aloft: geopotential grows, temperature falls
+        frac = c.level / 1000.0
+        if c.var == "z":
+            mean = 1.0e5 * (1.05 - frac)
+        elif c.var == "t":
+            mean = 210.0 + 80.0 * frac
+        elif c.var == "q":
+            mean = 5e-3 * frac**2
+    return mean, std
+
+
 class SyntheticSource(ICSource):
     """Smooth random fields with per-variable climatological scales.
 
@@ -96,17 +118,7 @@ class SyntheticSource(ICSource):
         lon = np.deg2rad(self.grid.lon)[None, :]
         for ti, t in enumerate(times):
             for ci, name in enumerate(self.channel_names):
-                c = parse_channel(name)
-                mean, std = _CLIMATOLOGY.get(c.var, (0.0, 1.0))
-                if c.level is not None:
-                    # scale aloft: geopotential grows, temperature falls
-                    frac = c.level / 1000.0
-                    if c.var == "z":
-                        mean = 1.0e5 * (1.05 - frac)
-                    elif c.var == "t":
-                        mean = 210.0 + 80.0 * frac
-                    elif c.var == "q":
-                        mean = 5e-3 * frac**2
+                mean, std = climatology_stats(name)
                 rng = np.random.default_rng(
                     abs(hash((int(t.timestamp()), name))) % (2**32)
                 )

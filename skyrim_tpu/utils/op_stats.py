@@ -23,7 +23,16 @@ import tempfile
 def collect_op_stats(step_fn, args, n_steps: int = 3, logdir: str | None = None):
     """Run ``step_fn(*args)`` ``n_steps`` times under a profiler trace and
     return (rows, total_self_us) where rows are (self_us_per_step,
-    fraction, op_type, op_name) sorted by descending self time.
+    fraction, total_us_per_step, op_name) sorted by descending self time.
+
+    Self time is EXCLUSIVE: control-flow wrapper events (``conditional``,
+    ``while``) on the device "XLA Ops" line SPAN the ops of the branch
+    they execute, which also appear as their own events — a flat sum
+    double-counts every op under a wrapper (that is exactly the
+    311 ms-vs-153 ms discrepancy in PROFILE_r03.txt).  The reduction
+    here subtracts nested-child time from each event, so a cond that
+    executes one branch contributes ~0 self time and the per-step total
+    matches the measured step wall.
 
     ``step_fn`` must return something whose first leaf can be fetched to
     force execution (e.g. a (state, scalar) tuple).
@@ -45,19 +54,25 @@ def collect_op_stats(step_fn, args, n_steps: int = 3, logdir: str | None = None)
     tsv = _xplane_to_tsv(max(xplanes, key=os.path.getmtime))
     data = []
     for line in tsv.splitlines():
-        us, name = line.split("\t", 1)
-        data.append((float(us), name))
+        excl_us, tot_us, name = line.split("\t", 2)
+        data.append((float(excl_us), float(tot_us), name))
     data.sort(reverse=True)
     total = sum(d[0] for d in data)
     out_rows = [
-        (t / n_steps, (t / total if total else 0.0), "", nm) for t, nm in data
+        (e / n_steps, (e / total if total else 0.0), t / n_steps, nm)
+        for e, t, nm in data
     ]
     return out_rows, total / n_steps
 
 
 def _xplane_to_tsv(xplane_path: str) -> str:
     """Aggregate the device 'XLA Ops' line of an xplane.pb into
-    ``total_us<TAB>op_name`` rows.
+    ``exclusive_us<TAB>total_us<TAB>op_name`` rows.
+
+    Wrapper events (``conditional``/``while``) span the events of the
+    ops they execute; a stack walk over the time-sorted events assigns
+    each event its EXCLUSIVE time (duration minus nested children), so
+    nothing is counted twice.
 
     Parsed with the raw xplane proto (tensorflow.tsl) in a subprocess
     using the pure-Python protobuf implementation — the image's
@@ -74,16 +89,31 @@ def _xplane_to_tsv(xplane_path: str) -> str:
         "from tensorflow.tsl.profiler.protobuf import xplane_pb2\n"
         "xs = xplane_pb2.XSpace()\n"
         "xs.ParseFromString(open(sys.argv[1], 'rb').read())\n"
-        "agg = collections.defaultdict(float)\n"
+        "excl = collections.defaultdict(float)\n"
+        "tot = collections.defaultdict(float)\n"
+        "def flush(stack, upto=None):\n"
+        "    while stack and (upto is None or stack[-1][1] <= upto):\n"
+        "        s, e, nm, child = stack.pop()\n"
+        "        d = e - s\n"
+        "        excl[nm] += (d - child) / 1e6\n"
+        "        tot[nm] += d / 1e6\n"
+        "        if stack: stack[-1][3] += d\n"
         "for p in xs.planes:\n"
         "    if not p.name.startswith('/device:'): continue\n"
         "    md = p.event_metadata\n"
         "    for line in p.lines:\n"
         "        if line.name != 'XLA Ops': continue\n"
-        "        for ev in line.events:\n"
-        "            agg[md[ev.metadata_id].name] += ev.duration_ps / 1e6\n"
-        "for name, us in agg.items():\n"
-        "    print(f'{us}\\t{name}')\n"
+        "        evs = sorted(\n"
+        "            ([ev.offset_ps, ev.offset_ps + ev.duration_ps,\n"
+        "              md[ev.metadata_id].name, 0.0] for ev in line.events),\n"
+        "            key=lambda t: (t[0], -t[1]))\n"
+        "        stack = []\n"
+        "        for ev in evs:\n"
+        "            flush(stack, upto=ev[0])\n"
+        "            stack.append(ev)\n"
+        "        flush(stack)\n"
+        "for name in tot:\n"
+        "    print(f'{excl[name]}\\t{tot[name]}\\t{name}')\n"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code, xplane_path],
@@ -116,9 +146,13 @@ def main(argv: list[str]) -> None:
         return s, jnp.mean(y)
 
     rows, total = collect_op_stats(step, (params, state), n_steps)
-    print(f"{name}: {total:.0f} us/step device self-time, top {top_k} ops:")
-    for t, frac, ty, nm in rows[:top_k]:
-        print(f"{t:10.0f} us {100 * frac:5.1f}%  {ty:24s} {nm[:110]}")
+    print(
+        f"{name}: {total:.0f} us/step device EXCLUSIVE self-time "
+        f"(wrapper spans subtracted), top {top_k} ops:"
+    )
+    for excl, frac, tot, nm in rows[:top_k]:
+        wrap = f" (span {tot:.0f} us)" if tot > 1.5 * max(excl, 1.0) else ""
+        print(f"{excl:10.0f} us {100 * frac:5.1f}%  {nm[:110]}{wrap}")
 
 
 if __name__ == "__main__":

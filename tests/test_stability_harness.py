@@ -1,0 +1,57 @@
+"""Hermetic (CPU, tiny-config) coverage of the stability harness."""
+
+import jax
+import numpy as np
+import pytest
+
+from skyrim_tpu.models.pangu import PanguConfig, PanguModel
+from skyrim_tpu.utils.stability import (
+    climatological_norm,
+    climatological_params,
+    precision_divergence,
+    stability_rollout,
+    synthetic_ic,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pangu():
+    cfg = PanguConfig(
+        lat=49, lon=96, embed_dim=16, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2)
+    )
+    model = PanguModel("pangu6", cfg=cfg)
+    params = climatological_params(model, jax.random.key(0))
+    return model, params
+
+
+def test_climatological_norm_matches_ic_scales(tiny_pangu):
+    """normalize(climatological_norm, synthetic IC) lands near N(0,1):
+    the IC generator and the norm stats share one climatology."""
+    model, params = tiny_pangu
+    x0 = synthetic_ic(model)
+    norm = climatological_norm(model.channels)
+    mean = np.asarray(norm["mean"]).reshape(-1, 1, 1)
+    std = np.asarray(norm["std"]).reshape(-1, 1, 1)
+    z = (x0[0] - mean) / std
+    rms = float(np.sqrt(np.mean(z**2)))
+    assert 0.2 < rms < 3.0, f"normalized IC rms {rms}"
+
+
+def test_stability_rollout_stats(tiny_pangu):
+    model, params = tiny_pangu
+    x0 = synthetic_ic(model)
+    r = stability_rollout(model, params, x0, 4)
+    assert r["n_steps"] == 4
+    assert len(r["rms"]) == 4 and len(r["amax"]) == 4
+    assert r["all_finite"]
+    assert all(np.isfinite(v) for v in r["rms"])
+    assert r["growth_per_step_geo"] < 1.5
+
+
+def test_precision_divergence_small_at_step1(tiny_pangu):
+    model, params = tiny_pangu
+    x0 = synthetic_ic(model)
+    d = precision_divergence(model, params, x0, 2)
+    assert len(d["rel_l2"]) == 2
+    # bf16-vs-fp32 after one step is rounding-scale, not structural
+    assert 0.0 < d["rel_l2"][0] < 0.05
