@@ -156,6 +156,16 @@ def roofline(
         out["bytes_physical_gb"] = round(bytes_physical / 2**30, 2)
         out["hbm_physical_pct"] = round(100 * hbm_phys, 1)
         out["bytes_basis"] = "hlo_physical_layout"
+        if hbm_phys > 1.0:
+            # >100% of wall×peak-BW is physically impossible: the layout
+            # accounting charges operands that stay VMEM-resident across
+            # fusions. State that explicitly rather than letting a
+            # 'memory' verdict rest on an impossible figure.
+            out["physical_note"] = (
+                "layout accounting exceeds wall x peak-BW - it over-counts "
+                "VMEM-resident reuse; treat as upper bound, true HBM "
+                "utilization is <= 100%"
+            )
         hbm_hi = hbm_phys
     if bytes_floor is not None:
         hbm_lo = (

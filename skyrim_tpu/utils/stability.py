@@ -117,20 +117,30 @@ def stability_rollout(
     }
 
 
-def _with_compute_dtype(model: PrognosticModel, dtype) -> PrognosticModel:
+def _with_compute_dtype(
+    model: PrognosticModel, dtype, **cfg_overrides
+) -> PrognosticModel:
     """A sibling instance of ``model`` whose compute dtype is ``dtype``.
 
     compute_dtype is a class attribute some models (GraphCast) consume
     at construction time, so a dynamic subclass re-instantiates cleanly.
+    ``cfg_overrides`` are dataclasses.replace'd into the model config —
+    e.g. a higher ``edge_chunks`` for the fp32 GraphCast leg, whose
+    doubled activation footprint otherwise exhausts HBM at full res.
     """
+    import dataclasses
+
     cls = type(model)
     sub = type(f"{cls.__name__}_{np.dtype(dtype).name}", (cls,), {
         "compute_dtype": dtype,
     })
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     if hasattr(model, "variant"):
-        return sub(model.variant, cfg=getattr(model, "cfg", None))
-    if getattr(model, "cfg", None) is not None:
-        return sub(model.cfg)
+        return sub(model.variant, cfg=cfg)
+    if cfg is not None:
+        return sub(cfg)
     return sub()
 
 
@@ -139,24 +149,115 @@ def precision_divergence(
     params: Any,
     x0: np.ndarray,
     n_steps: int,
-    make_fp32: Callable[[PrognosticModel], PrognosticModel] | None = None,
+    make_fp32: Callable[..., PrognosticModel] | None = None,
+    fp32_cfg_overrides: dict | None = None,
+    fp32_pallas: bool = False,
+    sequential: bool = False,
 ) -> dict:
     """Per-step relative L2 between bf16 and fp32(highest) rollouts.
 
     Runs step-by-step (two resident states, no output stacks); the
     fp32 trace additionally pins ``jax.default_matmul_precision`` to
     "highest" so its matmuls run full-precision even on MXU hardware.
-    """
-    norm = params["norm"]
-    model_fp = (make_fp32 or _with_compute_dtype)(model, jnp.float32)
 
+    The fp32 leg is traced with the fused Pallas kernels DISABLED
+    (``SKYRIM_NO_PALLAS``): their VMEM block shapes are tuned for bf16
+    and some (GraphCast g2m) exceed the scoped-VMEM limit at f32, and
+    the XLA fallback is the parity-tested reference path anyway — so
+    the comparison is production-kernels-bf16 vs reference-XLA-fp32,
+    an implementation-independent truth source.
+
+    ``fp32_pallas=True`` keeps the kernels on for the fp32 leg instead —
+    for models whose XLA fallback materializes edge-sized intermediates
+    that exceed HBM at f32 full-res (GraphCast); the scoped-VMEM limit
+    is raised per-compile (``xla_tpu_scoped_vmem_limit_kib``) so the
+    bf16-tuned f32 kernel blocks fit the 128 MiB physical VMEM.
+
+    ``sequential=True`` runs the two legs one after the other, staging
+    the bf16 outputs on the host and DELETING the bf16 derived cache
+    (``params["cache"]`` device buffers — the passed params must not be
+    reused afterwards) before the fp32 leg is built: models with
+    multi-GiB edge caches (GraphCast: ~5 GiB bf16 + ~10 GiB fp32)
+    cannot hold both legs resident on one 16 GiB chip.
+    """
+    import os
+
+    norm = params["norm"]
+    if make_fp32 is not None:
+        model_fp = make_fp32(model, jnp.float32)
+    else:
+        model_fp = _with_compute_dtype(
+            model, jnp.float32, **(fp32_cfg_overrides or {})
+        )
+
+    n_calls = -(-n_steps // model.frames_out)
     step_bf = jax.jit(lambda p, s: model.advance(p, s))
+
+    norm_np = {
+        "mean": np.asarray(norm["mean"], np.float32),
+        "std": np.asarray(norm["std"], np.float32),
+    }
+
+    def _host_rel_l2(ya, yb):
+        a = (ya - norm_np["mean"]) / norm_np["std"]
+        b = (yb - norm_np["mean"]) / norm_np["std"]
+        return float(
+            np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        )
+
+    bf16_host: list[np.ndarray] = []
+    if sequential:
+        # leg A fully first; outputs go to host, device buffers freed
+        sa = model.init_state(params, jnp.asarray(x0))
+        for _ in range(n_calls):
+            sa, ya = step_bf(params, sa)
+            bf16_host.append(np.asarray(ya, np.float32))
+        del sa, ya
+        if isinstance(params, dict) and "cache" in params:
+            for leaf in jax.tree.leaves(params["cache"]):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+
+    def _make_params_fp():
+        # derived caches (params["cache"]) are config- and dtype-shaped —
+        # rebuild them for the fp32 model
+        if isinstance(params, dict) and "cache" in params:
+            return model_fp.prepare_params(
+                {k: v for k, v in params.items() if k != "cache"}
+            )
+        return params
+
+    params_fp = _make_params_fp()
 
     def _fp(p, s):
         with jax.default_matmul_precision("highest"):
             return model_fp.advance(p, s)
 
-    step_fp = jax.jit(_fp)
+    sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
+    if fp32_pallas:
+        step_fp = jax.jit(_fp).lower(params_fp, sb0).compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 130048}
+        )
+    else:
+        prev = os.environ.get("SKYRIM_NO_PALLAS")
+        os.environ["SKYRIM_NO_PALLAS"] = "1"
+        try:
+            # AOT-compile the fp32 leg while the env guard is active —
+            # use_pallas() is consulted at trace time
+            step_fp = jax.jit(_fp).lower(params_fp, sb0).compile()
+        finally:
+            if prev is None:
+                os.environ.pop("SKYRIM_NO_PALLAS", None)
+            else:
+                os.environ["SKYRIM_NO_PALLAS"] = prev
+
+    curve = []
+    if sequential:
+        sb = sb0
+        for t in range(n_calls):
+            sb, yb = step_fp(params_fp, sb)
+            curve.append(_host_rel_l2(bf16_host[t], np.asarray(yb, np.float32)))
+        return {"n_steps": n_steps, "rel_l2": curve, "mode": "sequential"}
 
     @jax.jit
     def rel_l2(ya, yb):
@@ -165,10 +266,9 @@ def precision_divergence(
         return jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12)
 
     sa = model.init_state(params, jnp.asarray(x0))
-    sb = model_fp.init_state(params, jnp.asarray(x0))
-    curve = []
-    for _ in range(-(-n_steps // model.frames_out)):
+    sb = sb0
+    for _ in range(n_calls):
         sa, ya = step_bf(params, sa)
-        sb, yb = step_fp(params, sb)
+        sb, yb = step_fp(params_fp, sb)
         curve.append(float(rel_l2(ya, yb)))
     return {"n_steps": n_steps, "rel_l2": curve}

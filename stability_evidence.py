@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,9 @@ def main() -> int:
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--models", default="pangu,fourcastnet_v2,graphcast")
     ap.add_argument("--out", default="STABILITY_r04.json")
+    ap.add_argument("--merge", action="store_true",
+                    help="update only the listed models inside an "
+                         "existing artifact")
     args = ap.parse_args()
     if args.fast:
         args.steps, args.div_steps, args.models = 6, 3, "pangu"
@@ -54,6 +58,26 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "models": [],
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        run_set = set(args.models.split(","))
+        out["models"] = [
+            m for m in prior.get("models", []) if m.get("model") not in run_set
+        ]
+
+    #: fp32-leg config overrides: GraphCast's doubled activation width
+    #: exhausts HBM at full res unless the edge MLPs scan in more chunks
+    # GraphCast's fp32 leg keeps the Pallas kernels (the XLA fallback
+    # materializes edge-wide f32 intermediates that exhaust HBM at full
+    # res); the scoped-VMEM limit is raised per-compile so the
+    # bf16-tuned g2m block (125.3 MiB at f32) fits physical VMEM
+    FP32_PALLAS = {"graphcast"}
+
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
     for name in args.models.split(","):
         t0 = time.time()
         model = flagship(name)
@@ -61,17 +85,30 @@ def main() -> int:
         x0 = synthetic_ic(model)
         rec = {"model": name, "grid": list(model.grid.shape),
                "channels": len(model.channels)}
+        out["models"].append(rec)
 
-        t1 = time.time()
-        rec["rollout"] = stability_rollout(model, params, x0, args.steps)
-        rec["rollout_wall_s"] = round(time.time() - t1, 2)
+        try:
+            t1 = time.time()
+            rec["rollout"] = stability_rollout(model, params, x0, args.steps)
+            rec["rollout_wall_s"] = round(time.time() - t1, 2)
+            flush()  # incremental: a later model's failure loses nothing
 
-        t1 = time.time()
-        rec["divergence"] = precision_divergence(
-            model, params, x0, args.div_steps
-        )
-        rec["divergence_wall_s"] = round(time.time() - t1, 2)
+            t1 = time.time()
+            rec["divergence"] = precision_divergence(
+                model, params, x0, args.div_steps,
+                fp32_pallas=name in FP32_PALLAS,
+                # GraphCast cannot hold both legs' multi-GiB edge caches
+                # resident on one 16 GiB chip — run the legs sequentially
+                sequential=name in FP32_PALLAS,
+            )
+            rec["divergence_wall_s"] = round(time.time() - t1, 2)
+        except Exception as e:  # record and continue with the next model
+            rec["error"] = f"{type(e).__name__}: {e}"[:2000]
+            print(f"{name}: FAILED {rec['error'][:200]}", flush=True)
+            flush()
+            continue
         rec["total_wall_s"] = round(time.time() - t0, 2)
+        flush()
 
         r = rec["rollout"]
         print(
@@ -83,10 +120,8 @@ def main() -> int:
             f"({rec['total_wall_s']:.0f}s)",
             flush=True,
         )
-        out["models"].append(rec)
 
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(f"wrote {args.out}")
     return 0
 
