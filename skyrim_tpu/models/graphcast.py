@@ -214,6 +214,32 @@ class BipartitePass(nn.Module):
         step-invariant, cached across steps via params["cache"].  When
         ``static_dst``, the dst-side transform is folded in here too."""
         if "plan" in self.tables:
+            from skyrim_tpu.ops.flash_window_attention import use_pallas
+
+            gt = self.tables.get("g2m_tiles")
+            if gt is not None and use_pallas():
+                # grid-major slot layout (H, W, D·L) for the tiled
+                # kernel: per-(point, slot) static edge embedding with
+                # the dst mesh-embed transform folded in
+                D = gt["D"]
+                H, W = gt["slot_dst"].shape[:2]
+                L = self.latent
+                ef = jnp.asarray(gt["slot_ef"], self.dtype)
+                n_rows = H * W * D
+                a_dst = self.message.dst_part(dst_feat)
+                di = jnp.asarray(gt["slot_dst"]).reshape(-1)
+                G = self.groups
+                chunk = -(-n_rows // G)
+                ef_p = jnp.pad(
+                    ef.reshape(n_rows, -1),
+                    ((0, G * chunk - n_rows), (0, 0)),
+                )
+                bias = jax.lax.map(
+                    lambda e: self.message.edge_part(self.edge_embed(e)),
+                    ef_p.reshape(G, chunk, -1),
+                ).reshape(G * chunk, L)[:n_rows]
+                bias = bias + a_dst[di]
+                return bias.reshape(H, W, D * L)
             plan = self.tables["plan"]
             G = self.groups
             B, M = plan["src_blocks"].shape
@@ -277,36 +303,42 @@ class BipartitePass(nn.Module):
             # transform broadcasts — a reshape, not a gather
             src_c = jnp.asarray(self.tables["src_c"])
             a_dst = self.message.dst_part(dst_feat)
+
+            face_c = self.tables.get("face_c")
+            ft = self.tables.get("face_tiles")
+            if face_c is not None and fused and ft is not None:
+                # 2D-tiled, ONE pallas call: each (th, tw) spatial tile
+                # touches few distinct faces (≤189 at 0.25°), so the
+                # kernel expands per-point face latents from a small
+                # per-tile unique-row table with a one-hot MXU matmul —
+                # replacing a 3.2 GB row-gather that ran at gather
+                # latency (28.5 ms measured, round 5).  Whole-buffer
+                # reshapes of the cache are bitcasts; the earlier
+                # per-chunk loop fed SLICES to the custom-calls, which
+                # XLA materialized as ~8 GB/step of copies.
+                deg = self.degree
+                a_src_faces = a_src[jnp.asarray(self.tables["faces"])]
+                a_src_faces = a_src_faces.reshape(-1, deg * L)
+                from skyrim_tpu.ops.graph_kernels import fused_m2g_tiled
+
+                b0, wb, lnp = self.message.finish_params()
+                uniq = a_src_faces[jnp.asarray(ft["tile_faces"])]
+                H, W = ft["tile_local"].shape
+                bias_hw = bias_chunks.reshape(-1, deg * L)[
+                    : self.n_dst
+                ].reshape(H, W, deg * L)
+                agg = fused_m2g_tiled(
+                    uniq, jnp.asarray(ft["tile_local"]), bias_hw,
+                    a_dst.reshape(H, W, L), b0, wb, lnp, deg,
+                    ft["th"], ft["tw"],
+                ).reshape(self.n_dst, L)
+                return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
             nc, ch = src_c.shape
             dst_chunk = ch // self.degree
             n_rows = nc * dst_chunk
             if n_rows != a_dst.shape[0]:
                 a_dst = jnp.pad(a_dst, ((0, n_rows - a_dst.shape[0]), (0, 0)))
             a_dst_c = a_dst.reshape(nc, dst_chunk, L)
-
-            face_c = self.tables.get("face_c")
-            if face_c is not None and fused:
-                # scan-free: the fused kernel tiles the rows itself, so
-                # the chunk loop is a plain Python loop over cache views
-                # (no scan operand un-stacking, no (N, deg, L) layouts)
-                deg = self.degree
-                a_src_faces = a_src[jnp.asarray(self.tables["faces"])]
-                a_src_faces = a_src_faces.reshape(-1, deg * L)
-                from skyrim_tpu.ops.graph_kernels import (
-                    fused_fixed_degree_messages,
-                )
-
-                b0, wb, lnp = self.message.finish_params()
-                f_c = jnp.asarray(face_c)
-                aggs = [
-                    fused_fixed_degree_messages(
-                        a_src_faces[f_c[c]], bias_chunks[c], a_dst_c[c],
-                        b0, wb, lnp, deg,
-                    )
-                    for c in range(bias_chunks.shape[0])
-                ]
-                agg = jnp.concatenate(aggs, axis=0)[: self.n_dst]
-                return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
             if face_c is not None:
                 # face-structured src: stage per-face vertex latents
                 # (n_faces, degree·L) WIDE once, then ONE wide-row gather
@@ -353,6 +385,32 @@ class BipartitePass(nn.Module):
         else:
             # plan mode (grid→mesh): per block-group, compute messages
             # and aggregate via a one-hot matmul — no scatter
+            gt = self.tables.get("g2m_tiles")
+            if fused and gt is not None:
+                # grid-major 2D tiles: the src side is CONTIGUOUS (each
+                # grid point's own latent row, out-degree ≤ 3), so the
+                # 1.7 GB per-edge source gather of the dst-sorted plan
+                # (23.7 ms at v5e gather rates, round 5) disappears;
+                # a tile sends to ≤125 distinct mesh nodes, aggregated
+                # in-kernel by one-hot matmuls, then combined across
+                # tiles with a small static gather + sorted segment sum
+                from skyrim_tpu.ops.graph_kernels import fused_g2m_tiled
+
+                b0, wb, lnp = self.message.finish_params()
+                H, W = gt["slot_dst"].shape[:2]
+                partials = fused_g2m_tiled(
+                    a_src.reshape(H, W, L), bias_chunks,
+                    jnp.asarray(gt["local"]), b0, wb, lnp,
+                    gt["D"], gt["U"], gt["th"], gt["tw"],
+                )
+                vals = partials.reshape(-1, L)[
+                    jnp.asarray(gt["combine_idx"])
+                ]
+                agg = jax.ops.segment_sum(
+                    vals, jnp.asarray(gt["combine_seg"]),
+                    num_segments=self.n_dst, indices_are_sorted=True,
+                )
+                return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
             plan = self.tables["plan"]
             G = self.groups
             B, M = plan["src_blocks"].shape
@@ -362,22 +420,16 @@ class BipartitePass(nn.Module):
             src_b = jnp.asarray(plan["src_blocks"])
 
             if fused:
-                # scan-free: message MLP + one-hot aggregation per block
-                # inside one kernel; group loop is a plain Python loop
-                # bounding the (grp, M, L) gather transients
+                # scan-free, ONE pallas call over all blocks — per-group
+                # slices of the cached bias fed to custom-calls forced
+                # multi-GB materialized copies (utils/hlo_bytes, round 5);
+                # the single call reads whole cache buffers in place
                 from skyrim_tpu.ops.graph_kernels import fused_block_messages
 
                 b0, wb, lnp = self.message.finish_params()
-                outs = [
-                    fused_block_messages(
-                        a_src[src_b[g * grp : (g + 1) * grp]],
-                        bias_chunks[g * grp : (g + 1) * grp],
-                        local[g * grp : (g + 1) * grp],
-                        b0, wb, lnp, SB,
-                    )
-                    for g in range(G)
-                ]
-                ys = jnp.concatenate(outs, axis=0)
+                ys = fused_block_messages(
+                    a_src[src_b], bias_chunks, local, b0, wb, lnp, SB,
+                )
             else:
                 iota = jnp.arange(SB, dtype=local.dtype)
 
@@ -424,14 +476,41 @@ class ProcessorRound(nn.Module):
         self.MLP_1 = MLP(self.latent, self.latent)  # node update
 
     def __call__(self, nodes, edges, onehot):
+        from skyrim_tpu.ops.flash_window_attention import use_pallas
         from skyrim_tpu.ops.graph import block_expand_dst, block_segment_sum
 
         src_b = jnp.asarray(self.plan["src_blocks"])  # (B, M)
         a_src = self.MLP_0.src_part(nodes)
-        a_dst = block_expand_dst(self.MLP_0.dst_part(nodes), self.plan, onehot)
-        h = self.MLP_0.edge_part(edges) + a_src[src_b] + a_dst
-        new_edges = edges + self.MLP_0.finish(h)
-        agg = block_segment_sum(new_edges, self.plan, onehot)
+        if use_pallas() and not self.is_initializing():
+            # whole round in one HBM pass (ops/graph_kernels): the
+            # expansion, edge GEMM, finish MLP, residual, and one-hot
+            # aggregation never materialize (B, M, L) intermediates
+            from skyrim_tpu.ops.graph_kernels import fused_round_messages
+
+            SB = self.plan["SB"]
+            seg_lo = jnp.asarray(self.plan["seg_lo"])  # (B,)
+            idx = jnp.clip(
+                seg_lo[:, None] + jnp.arange(SB)[None, :],
+                0, self.plan["n_seg"] - 1,
+            )
+            staged = self.MLP_0.dst_part(nodes)[idx]  # (B, SB, L)
+            kernel = self.MLP_0.Dense_0.kernel
+            we = jax.lax.slice_in_dim(kernel, 0, self.latent, axis=0)
+            b0, wb, lnp = self.MLP_0.finish_params()
+            new_edges, agg_b = fused_round_messages(
+                edges, a_src[src_b], staged,
+                jnp.asarray(self.plan["local"]), we, b0, wb, lnp, SB,
+            )
+            agg = agg_b.reshape(-1, self.latent)[
+                jnp.asarray(self.plan["unpack"])
+            ]
+        else:
+            a_dst = block_expand_dst(
+                self.MLP_0.dst_part(nodes), self.plan, onehot
+            )
+            h = self.MLP_0.edge_part(edges) + a_src[src_b] + a_dst
+            new_edges = edges + self.MLP_0.finish(h)
+            agg = block_segment_sum(new_edges, self.plan, onehot)
         new_nodes = self.MLP_1(nodes, x2=agg, residual=nodes)
         return new_nodes, new_edges
 
@@ -455,7 +534,15 @@ class GraphCastNet(nn.Module):
         g2m_plan["src_blocks"] = pad_rows_to_blocks(g["g2m_src"], g2m_plan)
         g2m_plan["dst_blocks"] = pad_rows_to_blocks(g["g2m_dst"], g2m_plan)
         g2m_plan["efeat_blocks"] = pad_rows_to_blocks(g["g2m_efeat"], g2m_plan)
-        g2m_tables = {"plan": g2m_plan}
+        from skyrim_tpu.ops.graph import build_g2m_tiles
+
+        g2m_tables = {
+            "plan": g2m_plan,
+            "g2m_tiles": build_g2m_tiles(
+                g["g2m_src"], g["g2m_dst"], g["g2m_efeat"],
+                cfg.lat, cfg.lon, g["n_mesh"],
+            ),
+        }
         m2g_tables = {
             "efeat_c": chunk_static(g["m2g_efeat"], ec, multiple=3),
             "src_c": chunk_static(g["m2g_src"], ec, multiple=3),
@@ -470,6 +557,12 @@ class GraphCastNet(nn.Module):
             g["m2g_face"], (0, ec * dst_chunk - g["n_grid"])
         )
         m2g_tables["face_c"] = face_pad.reshape(ec, dst_chunk)
+        from skyrim_tpu.ops.graph import build_face_tiles
+
+        m2g_tables["face_tiles"] = build_face_tiles(
+            g["m2g_face"].reshape(cfg.lat, cfg.lon),
+            th=min(8, cfg.lat), tw=min(128, cfg.lon),
+        )
         self.g2m = BipartitePass(
             L, g["n_mesh"], g2m_tables, self.dtype, static_dst=True, groups=ec
         )
