@@ -79,7 +79,11 @@ def main() -> None:
     # BASELINE.md wall-clock target is a measurement, not a projection
     ten_day_measured_s = timed(TEN_DAY_STEPS)
     n_frames = n_long
-    vs_baseline = 120.0 / ten_day_measured_s  # reference: forecast < 2 min
+    # reference bound: "forecast in < 2 minutes" (README.md:11); compared
+    # against the measured on-device 40-step rollout — the e2e block
+    # below additionally measures the full IC→zarr production flow in
+    # both full-f32 and deployment (f16 + variable-subset) configs
+    vs_baseline = 120.0 / ten_day_measured_s
 
     # --- e2e production path: IC → stream_rollout → per-step zarr -------
     # Measures the product flow the reference markets ("forecast in
@@ -125,9 +129,36 @@ def main() -> None:
             n_steps=n_e2e,
             config=SaveConfig(forecast_id="bench", output_dir=tmp))
         t_e2e = time.perf_counter() - t0
+
+        # production config: f16 on-device cast + served-variable
+        # subset selected on device (both cut D2H bytes BEFORE the
+        # tunnel/NIC) — the config a deployment actually runs with;
+        # the full-f32 full-state numbers above stay as the upper bound
+        prod_vars = tuple(
+            v for v in (
+                "msl", "u10m", "v10m", "t2m",
+                "z500", "t500", "u500", "v500", "q500",
+                "z850", "t850", "u850", "v850", "q850",
+            ) if v in model.channels
+        )
+        prod_cfg = SaveConfig(
+            forecast_id="bench_prod", output_dir=tmp,
+            filter_vars=prod_vars,
+        )
+        stream_save_forecast(  # warm the production-shape jit
+            model, params, ic, __import__("datetime").datetime(2024, 1, 1),
+            n_steps=1, save_dtype="float16",
+            config=SaveConfig(forecast_id="warm_prod", output_dir=tmp,
+                              filter_vars=prod_vars))
+        t0 = time.perf_counter()
+        stream_save_forecast(
+            model, params, ic, __import__("datetime").datetime(2024, 1, 1),
+            n_steps=n_e2e, save_dtype="float16", config=prod_cfg)
+        t_e2e_prod = time.perf_counter() - t0
         shutil.rmtree(tmp, ignore_errors=True)
 
         e2e_step = t_e2e / n_e2e
+        prod_step = t_e2e_prod / n_e2e
         bound = max(per_step, t_d2h, t_save)
         e2e = {
             "steps_measured": n_e2e,
@@ -144,10 +175,22 @@ def main() -> None:
             "e2e_ten_day_s": round(e2e_step * TEN_DAY_STEPS, 1),
             "e2e_ten_day_onhost_est_s": round(
                 max(per_step, t_save) * TEN_DAY_STEPS, 1),
+            "production": {
+                "config": {
+                    "save_dtype": "float16",
+                    "filter_vars": list(prod_vars),
+                    "bytes_per_step_frac": round(
+                        len(prod_vars) / len(model.channels) / 2, 3),
+                },
+                "e2e_step_s": round(prod_step, 3),
+                "e2e_ten_day_s": round(prod_step * TEN_DAY_STEPS, 1),
+            },
             "note": (
                 "overlap_ratio ~1 proves compute/D2H/save overlap; "
                 "d2h rides a dev tunnel here — onhost estimate drops "
-                "the tunnel term"
+                "the tunnel term; 'production' uses the deployment "
+                "config (f16 transfer + served-variable subset, both "
+                "applied on device)"
             ),
         }
     except Exception as e:  # pragma: no cover

@@ -43,7 +43,7 @@ def _cpu_mesh(n: int):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     args = ap.parse_args()
 
     _cpu_mesh(8)
@@ -180,11 +180,84 @@ def main() -> int:
             ),
         }
 
+    # --- DCN tier: the literal BASELINE metric is 1 → N HOSTS ---------
+    # Production multi-host layouts put the halo/spectral ring INSIDE a
+    # host (lon ≤ 4 for Pangu/FengWu — the lon_shard_divisor constraint)
+    # and dp (independent ensemble members / init times) ACROSS hosts:
+    # per-step DCN traffic is then ZERO, so 1→H-host efficiency equals
+    # the intra-host projection.  The stress case — a spatial ring
+    # SPANNING 2 hosts — is projected for SFNO's lon=8 GSPMD step from
+    # its counted collectives + the public v5e host DCN bandwidth.
+    dcn = {}
+    if not args.fast:
+        from skyrim_tpu.parallel.collective_analysis import (
+            V5E_DCN_HOST_BW, project_multihost,
+        )
+
+        by = {}
+        for a in analyses:
+            if "error" not in a:
+                lon = a.get("mesh", {}).get("lon", 0)
+                by[(a["model"], lon, a.get("mesh", {}).get("dp", 1))] = a
+        prod_rows = {}
+        for name in ("pangu", "fengwu"):
+            a = by.get((name, 4, 2)) or by.get((name, 4, 1))
+            if a and "projection" in a:
+                prod_rows[name] = {
+                    "layout": "dp=2 hosts x lon=4 intra-host ring",
+                    "per_step_dcn_bytes": 0,
+                    "projected_efficiency_1_to_2_hosts":
+                        a["projection"]["projected_efficiency"],
+                    "note": (
+                        "dp members are independent rollouts — the halo "
+                        "ring never crosses DCN; efficiency equals the "
+                        "intra-host ICI projection"
+                    ),
+                }
+        a4 = by.get(("fourcastnet_v2", 4, 1))
+        a8 = by.get(("fourcastnet_v2", 8, 1))
+        stress = None
+        if a4 and a8 and "projection" in a8:
+            t1 = measured_step_wall("fourcastnet_v2")
+            stress = project_multihost(
+                t1,
+                a8["collectives"]["total_ici_bytes"],
+                a8["collectives"].get("dcn_bytes_per_host_2host", 0),
+                8, 4,
+                a4["collectives"]["total_ici_bytes"],
+            )
+            stress["model"] = "fourcastnet_v2"
+            stress["layout"] = "lon=8 spectral ring spanning 2x4-chip hosts"
+        effs = [r["projected_efficiency_1_to_2_hosts"]
+                for r in prod_rows.values()]
+        dcn = {
+            "dcn_bw_per_host_Bps": V5E_DCN_HOST_BW,
+            "production_layouts": prod_rows,
+            "spanning_ring_stress_case": stress,
+            "beyond_8_chips": (
+                "Pangu's lon axis is capped at 4 by lon_shard_divisor "
+                "(180 half-res lon tokens must split evenly); past "
+                "dp x lon=4x... the next spatial axis is LAT (the manual "
+                "path's halo machinery is axis-symmetric; lat=721 rows "
+                "split at the 181-token trunk into 2-4 shards), and dp "
+                "keeps scaling linearly with ensemble width (51-member "
+                "ENS production runs fill 51+ chips before any further "
+                "spatial split is needed)"
+            ),
+            "verdict": {
+                "min_projected_efficiency_1_to_2_hosts":
+                    min(effs) if effs else None,
+                "target": 0.8,
+                "meets_target": bool(effs) and min(effs) >= 0.8,
+            },
+        }
+
     out = {
         "resolution": "full production 721x1440 (per-model channels)",
         "tier1_collective_accounting": analyses,
         "tier1_dp_ensemble": dp_analyses,
         "verdict": verdict,
+        "dcn_projection": dcn,
     }
 
     # tier 2: toy measured harness run (labeled; not ICI evidence)

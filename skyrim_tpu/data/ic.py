@@ -87,7 +87,12 @@ def climatology_stats(channel_name: str) -> tuple[float, float]:
     SAME climatology so a synthetic IC enters the net as ~N(0,1) — the
     offline analog of a trained artifact's bundled stats.
     """
-    c = parse_channel(channel_name)
+    try:
+        c = parse_channel(channel_name)
+    except ValueError:
+        # reduced test configs use placeholder channel names (cNN);
+        # standard normal is the right synthetic climatology for them
+        return 0.0, 1.0
     mean, std = _CLIMATOLOGY.get(c.var, (0.0, 1.0))
     if c.level is not None:
         # scale aloft: geopotential grows, temperature falls

@@ -195,7 +195,17 @@ def stream_save_forecast(
     zs = ZarrStore(store, level=zlib_level, workers=writer_threads)
 
     times = rollout_times(start_time, model.time_step, n_steps)
-    nchan = len(model.channels)
+    # production variable filter: channel subset selected ON DEVICE
+    # before the D2H fetch (rollout.stream_rollout channel_idx), so
+    # filtered channels never cross the wire
+    if config.filter_vars:
+        all_chans = list(model.channels)
+        channel_idx = tuple(all_chans.index(v) for v in config.filter_vars)
+        out_channels = list(config.filter_vars)
+    else:
+        channel_idx = None
+        out_channels = list(model.channels)
+    nchan = len(out_channels)
     q: queue.Queue = queue.Queue(maxsize=2)  # bounds host frame memory
     err: list[BaseException] = []
 
@@ -209,7 +219,7 @@ def stream_save_forecast(
                 t, frame = item
                 f = Field.from_canonical(
                     frame[None].astype(np_dtype, copy=False),
-                    [t], model.channels, model.grid.lat, model.grid.lon,
+                    [t], out_channels, model.grid.lat, model.grid.lon,
                     attrs={"model": model.name, "ic_source": ic_source,
                            "forecast_id": config.forecast_id},
                 )
@@ -230,7 +240,8 @@ def stream_save_forecast(
     try:
         for t, frame in zip(
             times, stream_rollout(model, params, state, n_steps,
-                                  transfer_dtype=transfer)
+                                  transfer_dtype=transfer,
+                                  channel_idx=channel_idx)
         ):
             if err:
                 break

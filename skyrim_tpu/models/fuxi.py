@@ -101,6 +101,23 @@ class SwinBlock2D(nn.Module):
             return self._v2_block(x)
         return self._v1_block(x)
 
+    def _dense(self, x, features: int, name: str):
+        """nn.Dense, or the int8 MXU path when this block's weights
+        arrive in the ``int8`` collection (quantize.split_dense_int8):
+        int8×int8→int32 ``dot_general`` at 2× the bf16 MXU rate, with
+        the bf16 kernel never materialized."""
+        if self.has_variable("int8", f"{name}_q"):
+            from skyrim_tpu.quantize import QuantizedArray, int8_dot
+
+            qa = QuantizedArray(
+                q=self.get_variable("int8", f"{name}_q"),
+                scale=self.get_variable("int8", f"{name}_scale"),
+                dtype=str(x.dtype),
+            )
+            y = int8_dot(x, qa)
+            return y + self.get_variable("int8", f"{name}_bias").astype(x.dtype)
+        return nn.Dense(features, dtype=x.dtype, name=name)(x)
+
     def _v2_block(self, x):
         H, Wd, C = x.shape
         wh, ww = self.window
@@ -131,7 +148,7 @@ class SwinBlock2D(nn.Module):
             h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
         parts = W.window_partition(h, win3)
         n_win, wlen, _ = parts.shape
-        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+        qkv = self._dense(parts, 3 * self.dim, "qkv")
         qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         # cosine attention: normalized q·k scaled by the learned scale
@@ -157,13 +174,13 @@ class SwinBlock2D(nn.Module):
         )
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
         out = W.window_reverse(out, win3, (1, H, Wd))
-        out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
+        out = self._dense(out, self.dim, "proj")
         if self.shifted:
             out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))
         # residual-post-norm (Swin-V2): x + norm(attn(x)), x + norm(mlp(x))
         x = x + nn.LayerNorm(dtype=x.dtype, name="norm1")(out[0])
-        m = nn.Dense(self.dim * 4, dtype=x.dtype, name="Dense_0")(x)
-        m = nn.Dense(self.dim, dtype=x.dtype, name="Dense_1")(nn.gelu(m))
+        m = self._dense(x, self.dim * 4, "Dense_0")
+        m = self._dense(nn.gelu(m), self.dim, "Dense_1")
         return x + nn.LayerNorm(dtype=x.dtype, name="norm2")(m)
 
     def _v1_block(self, x):
@@ -235,7 +252,7 @@ class SwinBlock2D(nn.Module):
             h = jnp.roll(h, (-shift[1], -shift[2]), axis=(1, 2))
         parts = W.window_partition(h, win3)
         n_win, wlen, _ = parts.shape
-        qkv = nn.Dense(3 * self.dim, dtype=x.dtype, name="qkv")(parts)
+        qkv = self._dense(parts, 3 * self.dim, "qkv")
         qkv = qkv.reshape(n_win, wlen, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         attn = jnp.einsum(
@@ -254,7 +271,7 @@ class SwinBlock2D(nn.Module):
         )
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(n_win, wlen, C)
         out = W.window_reverse(out, win3, (1, H, Wd))
-        out = nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
+        out = self._dense(out, self.dim, "proj")
         if self.shifted:
             out = jnp.roll(out, (shift[1], shift[2]), axis=(1, 2))
         x = x + out[0]
@@ -347,7 +364,9 @@ class FuXiNet(nn.Module):
         assert cfg.depth % 2 == 0, "FuXi trunk depth must be even (shift pairs)"
         Pairs = nn.scan(
             SwinPair,
-            variable_axes={"params": 0},
+            # the int8 serving collection (quantize.split_dense_int8)
+            # is stacked per pair exactly like the params it replaces
+            variable_axes={"params": 0, "int8": 0},
             split_rngs={"params": True},
             length=cfg.depth // 2,
         )
@@ -460,28 +479,50 @@ class FuXiModel(PrognosticModel):
         k = max(1, min(-(-n_steps // self.cfg.stage_steps), self.cfg.n_stages))
         return {**params, "stages": list(params["stages"][:k])}
 
-    def quantize_params(self, params, min_size: int = 65536):
+    def quantize_params(self, params, min_size: int = 65536,
+                        serve_int8: bool = False):
         """Weight-only int8 at rest for the cascade stages (norm stats
         stay exact).  Three ~1.37 B stages drop 8.2 → 4.1 GB resident;
         ``_forward`` dequantizes inside the taken ``lax.switch`` branch,
         so only the selected stage materializes in bf16 — a full 15-day
         cascade fits one 16 GB chip without ``trim_stages`` swapping
-        (reference roadmap README.md:145 "quantization")."""
-        from skyrim_tpu.quantize import quantize_tree
+        (reference roadmap README.md:145 "quantization").
 
-        return {
-            **params,
-            "stages": [quantize_tree(s, min_size) for s in params["stages"]],
-        }
+        ``serve_int8=True`` additionally routes the trunk's GEMMs
+        (qkv/proj/MLP — ~99 % of the step FLOPs) through int8×int8→int32
+        MXU matmuls via the ``int8`` flax collection: those kernels
+        never materialize in bf16 at all, weight HBM traffic per step
+        halves, and the MXU runs them at 2× the bf16 rate."""
+        from skyrim_tpu.quantize import quantize_tree, split_dense_int8
+
+        if not serve_int8:
+            return {
+                **params,
+                "stages": [quantize_tree(s, min_size) for s in params["stages"]],
+            }
+        stages = []
+        for s in params["stages"]:
+            rest, int8 = split_dense_int8(s, min_size=min_size)
+            stages.append({
+                "params": quantize_tree(rest, min_size),
+                "int8": int8 or {},
+            })
+        return {**params, "stages": stages}
 
     def _forward(self, net_params, params, x):
         from skyrim_tpu.quantize import maybe_dequantize
 
-        net_params = maybe_dequantize(net_params)
+        if isinstance(net_params, dict) and "int8" in net_params:
+            variables = {
+                "params": maybe_dequantize(net_params["params"]),
+                "int8": net_params["int8"],
+            }
+        else:
+            variables = {"params": maybe_dequantize(net_params)}
         nc = self.cfg.in_channels
         xn = normalize(params["norm"], x).astype(self.compute_dtype)
         stacked = xn.reshape(self.n_history * nc, *x.shape[-2:])
-        y = self.module.apply({"params": net_params}, stacked).astype(jnp.float32)
+        y = self.module.apply(variables, stacked).astype(jnp.float32)
         xlast = normalize(params["norm"], x[-1])
         return denormalize(params["norm"], xlast + y)
 

@@ -279,12 +279,19 @@ def analyze_model(model, mesh, t_step_1chip_s: float | None) -> dict:
         colls = collect_collectives(compiled.as_text(), spatial)
         hlo_source = "compiled_hlo"
     mem = compiled.memory_analysis()
+    summary = summarize(colls)
+    if spatial >= 2 and spatial % 2 == 0:
+        # cross-host egress if this spatial ring SPANNED 2 hosts of
+        # spatial/2 chips (consumed by the dcn_projection tier)
+        summary["dcn_bytes_per_host_2host"] = int(
+            dcn_egress_per_host(colls, spatial, spatial // 2)
+        )
     out = {
         "mode": mode,
         "hlo_source": hlo_source,
         "mesh": dict(mesh.shape),
         "grid": list(model.grid.shape) + [len(model.channels)],
-        "collectives": summarize(colls),
+        "collectives": summary,
         "argument_gib": round(
             getattr(mem, "argument_size_in_bytes", 0) / 2**30, 2),
         "temp_gib": round(getattr(mem, "temp_size_in_bytes", 0) / 2**30, 2),
@@ -348,3 +355,101 @@ def measured_step_wall(model_name: str, path: str = "BENCH_SUITE.json") -> float
     except Exception:
         pass
     return None
+
+
+# ---------------------------------------------------------------------------
+# DCN (cross-host) tier — the literal BASELINE metric is 1 → N HOSTS
+# ---------------------------------------------------------------------------
+
+#: bytes/s DCN egress per HOST.  Public figure: v5e hosts (4x2 chip
+#: trays) attach 200 Gbps NICs = 25 GB/s (scaling-book TPU networking
+#: table).  Overridable for other deployments.
+V5E_DCN_HOST_BW = 2.5e10
+
+
+def dcn_egress_per_host(
+    colls: list[dict], n_devices: int, chips_per_host: int
+) -> float:
+    """Per-step DCN egress bytes of ONE host for a spatial decomposition
+    SPANNING hosts (devices laid out linearly: host = device // C).
+
+    Model per collective kind on an n-ring with contiguous C-chip hosts:
+
+    * collective-permute shift-by-k: the k devices at each host's edge
+      send their payload across the boundary → min(k, C)·payload;
+    * all-gather (ring): every remote shard transits each boundary —
+      ≈ result_bytes·(g−1)/g per host;
+    * reduce-scatter (ring): (g−1) shard-sized hops cross per host —
+      shard is the (scattered) result → result_bytes·(g−1);
+    * all-reduce: reduce-scatter + all-gather ≈ 2·bytes·(g−1)/g;
+    * all-to-all: the fraction of each device's payload targeting the
+      other hosts egresses once → C·bytes·(n−C)/n.
+
+    Hosts are symmetric, so the step's DCN time is this value divided
+    by one host's DCN bandwidth.
+    """
+    C = chips_per_host
+    if n_devices <= C:
+        return 0.0
+    total = 0.0
+    for c in colls:
+        b, g, kind = c["bytes"], c["group_size"], c["kind"]
+        if kind == "collective-permute":
+            k = (c["ici_bytes"] // b) if b else 0
+            total += min(k, C) * b
+        elif kind == "all-gather":
+            total += b * (g - 1) / max(g, 1)
+        elif kind == "reduce-scatter":
+            total += b * (g - 1)
+        elif kind == "all-reduce":
+            total += 2 * b * (g - 1) / max(g, 1)
+        else:  # all-to-all
+            total += C * b * (n_devices - C) / max(n_devices, 1)
+    return total
+
+
+def project_multihost(
+    t_step_1chip_s: float,
+    ici_bytes_N: int,
+    dcn_bytes_per_host: float,
+    n_devices: int,
+    chips_per_host: int,
+    ici_bytes_C: int,
+    link_bw: float = V5E_ICI_LINK_BW,
+    dcn_bw: float = V5E_DCN_HOST_BW,
+) -> dict:
+    """1 → H hosts scaling efficiency for a spatial decomposition that
+    SPANS hosts (the stress case; production layouts put the ring inside
+    a host and dp across hosts, where per-step DCN is zero).
+
+    eff = per-chip throughput at H hosts / per-chip throughput at 1
+    host = (C·t_step(C)) / (N·t_step(N)), with t_step(N) = t_comp/N +
+    t_ici(N) + t_dcn(N), no overlap (conservative).
+    """
+    C = chips_per_host
+    H = n_devices // C
+    t_comp = t_step_1chip_s
+    t_C = t_comp / C + ici_bytes_C / link_bw
+    t_N = t_comp / n_devices + ici_bytes_N / link_bw + dcn_bytes_per_host / dcn_bw
+    eff = (C * t_C) / (n_devices * t_N) if t_N > 0 else 0.0
+    terms = {
+        "t_comp/N": t_comp / n_devices,
+        "t_ici": ici_bytes_N / link_bw,
+        "t_dcn": dcn_bytes_per_host / dcn_bw,
+    }
+    return {
+        "hosts": H,
+        "chips_per_host": C,
+        "devices": n_devices,
+        "t_step_1host_s": round(t_C, 5),
+        "t_step_multihost_s": round(t_N, 5),
+        "dcn_bytes_per_host_per_step": int(dcn_bytes_per_host),
+        "t_dcn_s": round(terms["t_dcn"], 5),
+        "projected_efficiency_1_to_H_hosts": round(eff, 4),
+        "binding_term": max(terms, key=terms.get),
+        "assumptions": (
+            "linear host layout (host = device // chips_per_host); no "
+            "compute/comm overlap; DCN egress serialized per host at "
+            f"{dcn_bw / 1e9:.0f} GB/s"
+        ),
+    }

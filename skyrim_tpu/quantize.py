@@ -151,3 +151,55 @@ def int8_dot(x: jax.Array, w: QuantizedArray) -> jax.Array:
     )
     out = acc.astype(jnp.float32) * xs * w.scale.reshape(1, -1)
     return out.astype(x.dtype)
+
+
+def split_dense_int8(
+    tree,
+    names: tuple = ("qkv", "proj", "Dense_0", "Dense_1"),
+    min_size: int = 65536,
+):
+    """Split a flax params tree for the int8 SERVING path.
+
+    Named Dense submodules whose kernels are large become flat int8
+    variables at the parent scope — ``{name}_q`` (int8, per-output-
+    channel symmetric), ``{name}_scale`` (f32, reduced over the
+    contraction dim only, so stacked ``nn.scan`` kernels (P, K, N) get
+    per-layer scales (P, 1, N)), ``{name}_bias`` (exact) — consumed by
+    ``int8_dot`` inside the block (models/fuxi.py ``_dense``).  The
+    MXU runs the int8×int8→int32 layout at 2× its bf16 rate, and the
+    weights never materialize in bf16 at all (vs the at-rest tier's
+    in-branch dequantization).
+
+    Returns ``(rest, int8_tree)``: ``rest`` is the params tree with the
+    converted Dense subtrees REMOVED (flax never reads them — the block
+    branches on the int8 collection's presence).
+    """
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return t, None
+        rest, int8 = {}, {}
+        for k, v in t.items():
+            if (
+                k in names
+                and isinstance(v, dict)
+                and "kernel" in v
+                and getattr(v["kernel"], "ndim", 0) >= 2
+                and int(np.prod(v["kernel"].shape)) >= min_size
+            ):
+                kr = jnp.asarray(v["kernel"], jnp.float32)
+                amax = jnp.max(jnp.abs(kr), axis=-2, keepdims=True)
+                scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+                q = jnp.clip(jnp.round(kr / scale), -127, 127).astype(jnp.int8)
+                int8[f"{k}_q"] = q
+                int8[f"{k}_scale"] = scale
+                if "bias" in v:
+                    int8[f"{k}_bias"] = v["bias"]
+            else:
+                r, i8 = walk(v)
+                rest[k] = r
+                if i8:
+                    int8[k] = i8
+        return rest, int8
+
+    return walk(tree)

@@ -25,6 +25,7 @@ from functools import partial
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from skyrim_tpu.field import Field
@@ -60,10 +61,12 @@ def scan_rollout(
     return final_state, ys
 
 
-@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(2,))
 def _advance_jit(model: PrognosticModel, params: Params, state: ModelState,
-                 transfer_dtype=None):
+                 transfer_dtype=None, channel_idx=None):
     state, y = model.advance(params, state)
+    if channel_idx is not None:
+        y = y[:, jnp.asarray(channel_idx, jnp.int32)]
     if transfer_dtype is not None:
         y = y.astype(transfer_dtype)
     return state, y
@@ -75,12 +78,16 @@ def stream_rollout(
     state: ModelState,
     n_steps: int,
     transfer_dtype=None,
+    channel_idx: tuple | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield each step's output (C, H, W) as numpy, overlapping D2H with compute.
 
     ``transfer_dtype`` (e.g. ``jnp.float16``) casts the output on device
     before the fetch — halving device→host bytes for production paths
-    whose sink stores reduced precision anyway."""
+    whose sink stores reduced precision anyway.  ``channel_idx`` (a
+    static tuple of channel positions) selects the transferred subset ON
+    DEVICE, so a production variable filter cuts D2H bytes by C_sel/C
+    before the tunnel/NIC ever sees them."""
     n_calls = -(-n_steps // model.frames_out)
     emitted = 0
     pending: jax.Array | None = None
@@ -93,7 +100,8 @@ def stream_rollout(
                 yield frame
 
     for _ in range(n_calls):
-        state, y = _advance_jit(model, params, state, transfer_dtype)
+        state, y = _advance_jit(model, params, state, transfer_dtype,
+                                channel_idx)
         y.copy_to_host_async()
         if pending is not None:
             yield from drain(pending)

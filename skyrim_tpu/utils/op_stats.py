@@ -95,7 +95,10 @@ def _xplane_to_tsv(xplane_path: str) -> str:
         "    while stack and (upto is None or stack[-1][1] <= upto):\n"
         "        s, e, nm, child = stack.pop()\n"
         "        d = e - s\n"
-        "        excl[nm] += (d - child) / 1e6\n"
+        "        # clamp: a partially overlapping (non-nested) event —\n"
+        "        # e.g. an async collective spanning compute — could\n"
+        "        # otherwise yield negative exclusive time\n"
+        "        excl[nm] += max(d - child, 0.0) / 1e6\n"
         "        tot[nm] += d / 1e6\n"
         "        if stack: stack[-1][3] += d\n"
         "for p in xs.planes:\n"

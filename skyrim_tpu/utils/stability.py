@@ -68,12 +68,15 @@ def stability_rollout(
     x0: np.ndarray,
     n_steps: int,
 ) -> dict:
-    """N steps on device; returns per-step normalized-space statistics.
+    """N steps on device; returns per-advance-call statistics.
 
-    Keys: ``rms`` (normalized RMS per step), ``amax`` (normalized
-    max-abs), ``finite`` (bool per step), plus summary fields
-    ``growth_per_step_geo`` (geometric-mean step-to-step RMS ratio over
-    the second half — the monotone-drift detector) and ``all_finite``.
+    Keys: ``rms`` (normalized RMS), ``amax`` (normalized max-abs),
+    ``finite`` (bool) — ONE ENTRY PER ``advance`` CALL (for a
+    frames_out > 1 model each entry covers that call's whole frame
+    bundle; ``n_calls`` is the array length, ``n_steps`` the total
+    frames advanced).  Summary fields: ``growth_per_step_geo``
+    (geometric-mean call-to-call RMS ratio over the second half — the
+    monotone-drift detector) and ``all_finite``.
     """
     n_calls = -(-n_steps // model.frames_out)
 
@@ -109,6 +112,7 @@ def stability_rollout(
     ) else 1.0
     return {
         "n_steps": int(n_calls * model.frames_out),
+        "n_calls": int(n_calls),
         "rms": [float(v) for v in rms],
         "amax": [float(v) for v in amax],
         "finite": [bool(v) for v in finite],
@@ -153,6 +157,7 @@ def precision_divergence(
     fp32_cfg_overrides: dict | None = None,
     fp32_pallas: bool = False,
     sequential: bool = False,
+    fp32_device: str | None = None,
 ) -> dict:
     """Per-step relative L2 between bf16 and fp32(highest) rollouts.
 
@@ -179,9 +184,21 @@ def precision_divergence(
     reused afterwards) before the fp32 leg is built: models with
     multi-GiB edge caches (GraphCast: ~5 GiB bf16 + ~10 GiB fp32)
     cannot hold both legs resident on one 16 GiB chip.
+
+    ``fp32_device`` (e.g. ``"cpu"``) places the ENTIRE fp32 leg — cache
+    build, compile, and stepping — on that backend via
+    ``jax.default_device``.  GraphCast's fp32 caches alone are ~12.8 GiB
+    and exhaust a 16 GiB chip even sequentially; the host's RAM is not
+    so constrained, and a CPU-backend fp32 leg is additionally a
+    CROSS-BACKEND truth source (different compiler lowering entirely).
+    Implies the non-Pallas XLA fallback for that leg.
     """
+    import contextlib
     import os
 
+    if fp32_device and not sequential:
+        raise ValueError("fp32_device requires sequential=True "
+                         "(the legs live on different backends)")
     norm = params["norm"]
     if make_fp32 is not None:
         model_fp = make_fp32(model, jnp.float32)
@@ -212,7 +229,9 @@ def precision_divergence(
         for _ in range(n_calls):
             sa, ya = step_bf(params, sa)
             bf16_host.append(np.asarray(ya, np.float32))
-        del sa, ya
+        del sa  # (ya only exists when n_calls > 0)
+        if n_calls:
+            del ya
         if isinstance(params, dict) and "cache" in params:
             for leaf in jax.tree.leaves(params["cache"]):
                 if hasattr(leaf, "delete"):
@@ -227,37 +246,66 @@ def precision_divergence(
             )
         return params
 
-    params_fp = _make_params_fp()
+    dev_ctx = (
+        jax.default_device(jax.devices(fp32_device)[0])
+        if fp32_device else contextlib.nullcontext()
+    )
 
     def _fp(p, s):
         with jax.default_matmul_precision("highest"):
             return model_fp.advance(p, s)
 
-    sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
-    if fp32_pallas:
-        step_fp = jax.jit(_fp).lower(params_fp, sb0).compile(
-            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 130048}
-        )
-    else:
-        prev = os.environ.get("SKYRIM_NO_PALLAS")
-        os.environ["SKYRIM_NO_PALLAS"] = "1"
-        try:
-            # AOT-compile the fp32 leg while the env guard is active —
-            # use_pallas() is consulted at trace time
-            step_fp = jax.jit(_fp).lower(params_fp, sb0).compile()
-        finally:
-            if prev is None:
-                os.environ.pop("SKYRIM_NO_PALLAS", None)
+    with dev_ctx:
+        if fp32_device:
+            # host copies of the source weights so cache build and
+            # stepping never touch the accelerator
+            base = jax.tree.map(
+                lambda a: np.asarray(a) if hasattr(a, "shape") else a,
+                {k: v for k, v in params.items() if k != "cache"},
+            ) if isinstance(params, dict) else params
+            prev = os.environ.get("SKYRIM_NO_PALLAS")
+            os.environ["SKYRIM_NO_PALLAS"] = "1"
+            try:
+                params_fp = model_fp.prepare_params(dict(base))
+                sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
+                step_fp = jax.jit(_fp).lower(params_fp, sb0).compile()
+            finally:
+                if prev is None:
+                    os.environ.pop("SKYRIM_NO_PALLAS", None)
+                else:
+                    os.environ["SKYRIM_NO_PALLAS"] = prev
+        else:
+            params_fp = _make_params_fp()
+            sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
+            if fp32_pallas:
+                step_fp = jax.jit(_fp).lower(params_fp, sb0).compile(
+                    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 130048}
+                )
             else:
-                os.environ["SKYRIM_NO_PALLAS"] = prev
+                prev = os.environ.get("SKYRIM_NO_PALLAS")
+                os.environ["SKYRIM_NO_PALLAS"] = "1"
+                try:
+                    # AOT-compile the fp32 leg while the env guard is
+                    # active — use_pallas() is consulted at trace time
+                    step_fp = jax.jit(_fp).lower(params_fp, sb0).compile()
+                finally:
+                    if prev is None:
+                        os.environ.pop("SKYRIM_NO_PALLAS", None)
+                    else:
+                        os.environ["SKYRIM_NO_PALLAS"] = prev
 
-    curve = []
-    if sequential:
-        sb = sb0
-        for t in range(n_calls):
-            sb, yb = step_fp(params_fp, sb)
-            curve.append(_host_rel_l2(bf16_host[t], np.asarray(yb, np.float32)))
-        return {"n_steps": n_steps, "rel_l2": curve, "mode": "sequential"}
+        curve = []
+        if sequential:
+            sb = sb0
+            for t in range(n_calls):
+                sb, yb = step_fp(params_fp, sb)
+                curve.append(
+                    _host_rel_l2(bf16_host[t], np.asarray(yb, np.float32))
+                )
+            return {
+                "n_steps": n_steps, "rel_l2": curve, "mode": "sequential",
+                "fp32_device": fp32_device or "default",
+            }
 
     @jax.jit
     def rel_l2(ya, yb):
@@ -272,3 +320,139 @@ def precision_divergence(
         sb, yb = step_fp(params_fp, sb)
         curve.append(float(rel_l2(ya, yb)))
     return {"n_steps": n_steps, "rel_l2": curve}
+
+
+def perturbation_control(
+    model: PrognosticModel,
+    params: Any,
+    x0: np.ndarray,
+    n_steps: int,
+    eps: float = 1e-6,
+) -> dict:
+    """fp-identical control: same dtype/kernels, ε-perturbed IC.
+
+    Runs TWO rollouts at the model's production dtype from ``x0`` and
+    ``x0 + ε·std·noise`` and reports the per-step relative L2 between
+    them in normalized space.  This isolates the model's chaotic
+    amplification (Lyapunov growth) from precision error: if the
+    bf16-vs-fp32 divergence curve (``precision_divergence``) grows at
+    the same rate as this control, the divergence is chaos amplifying
+    the initial rounding difference — not accumulating kernel error —
+    and the achievable step-N allclose tolerance against any reference
+    is bounded below by ε·(growth rate)^N regardless of implementation.
+    """
+    rng = np.random.default_rng(0)
+    std = np.asarray(params["norm"]["std"], np.float32)
+    noise = rng.standard_normal(x0.shape).astype(np.float32)
+    x0p = x0 + eps * std.reshape((1, -1) + (1,) * (x0.ndim - 2)) * noise
+
+    n_calls = -(-n_steps // model.frames_out)
+    step = jax.jit(lambda p, s: model.advance(p, s))
+    norm = params["norm"]
+
+    @jax.jit
+    def rel_l2(ya, yb):
+        a = normalize(norm, ya.astype(jnp.float32))
+        b = normalize(norm, yb.astype(jnp.float32))
+        return jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12)
+
+    sa = model.init_state(params, jnp.asarray(x0))
+    sb = model.init_state(params, jnp.asarray(x0p))
+    curve = []
+    for _ in range(n_calls):
+        sa, ya = step(params, sa)
+        sb, yb = step(params, sb)
+        curve.append(float(rel_l2(ya, yb)))
+    growth = (
+        (curve[-1] / max(curve[0], 1e-30)) ** (1.0 / max(len(curve) - 1, 1))
+        if len(curve) > 1 else 1.0
+    )
+    # tolerance floor implied at the LAST step for an IC that differs
+    # by one bf16 ulp (~4e-3 relative).  For eps ABOVE the ulp the
+    # curve scales ~linearly in eps, so downscale; for sub-ulp eps the
+    # trajectory difference is already dominated by per-step bf16
+    # rounding (the r05 artifacts show step-1 divergence saturating at
+    # the same ~1 % as the bf16-vs-fp32 curve) — the measured curve IS
+    # the rounding-noise floor, so no upscaling is valid.
+    implied = float(curve[-1] * min(4e-3 / eps, 1.0)) if curve else None
+    return {
+        "n_steps": n_steps, "eps": eps, "rel_l2": curve,
+        "growth_per_step": float(growth),
+        "implied_bf16_floor_last_step": implied,
+    }  # fmt: skip
+
+
+def delta_decomposition(
+    model: PrognosticModel,
+    params: Any,
+    x0: np.ndarray,
+    n_steps: int,
+) -> dict:
+    """Per-step RMS of the state AND of the state increment.
+
+    Separates two benign random-weight behaviors from genuine
+    numerical defects:
+
+    * residual models (GraphCast, Pangu): an untrained net's increment
+      is dominated by its response to the STATIC inputs (geometry
+      features, biases), which repeats every step — uncorrelated parts
+      random-walk (rms² ≈ rms₀² + t·rms_Δ²), a converged constant
+      pattern accumulates LINEARLY (rms ≈ b·t).  Both are
+      sub-exponential; a per-step geometric ratio misreads either as
+      monotone drift (GraphCast r05: linear fit rel-err 0.003 with
+      slope ≈ the constant increment rms — drift, not instability);
+    * direct-prediction models (SFNO): an untrained net is a spectral
+      contraction, so the state decays geometrically toward the net's
+      fixed point.
+
+    Returns per-call ``rms`` (state), ``rms_delta`` (increment), the
+    random-walk fit residual ``walk_fit_rel_err``, the LINEAR fit
+    (``linear_fit_rel_err``, ``linear_slope`` — compare the slope to
+    median rms_delta), and ``contraction_ratio`` (mean rms ratio) for
+    the decay case.  Small fit residual (≲0.1) identifies the regime.
+    """
+    n_calls = -(-n_steps // model.frames_out)
+    norm = params["norm"]
+
+    @jax.jit
+    def run(params, state):
+        def body(carry, _):
+            state, prev = carry
+            new_state, y = model.advance(params, state)
+            yn = normalize(norm, y.astype(jnp.float32))
+            stats = (
+                jnp.sqrt(jnp.mean(yn**2)),
+                jnp.sqrt(jnp.mean((yn - prev) ** 2)),
+            )
+            return (new_state, yn), stats
+
+        x_last = normalize(norm, state.x[-1].astype(jnp.float32))[None]
+        (_, _), (rms, rms_d) = jax.lax.scan(
+            body, (state, x_last), None, length=n_calls
+        )
+        return rms, rms_d
+
+    state = model.init_state(params, jnp.asarray(x0))
+    rms, rms_d = jax.tree.map(lambda a: np.asarray(a, float), run(params, state))
+    # random-walk fit: rms(t)^2 vs rms(0)^2 + t * median(rms_delta^2)
+    t = np.arange(1, len(rms) + 1, dtype=float)
+    pred = np.sqrt(rms[0] ** 2 + (t - 1) * float(np.median(rms_d**2)))
+    fit_err = float(
+        np.linalg.norm(rms - pred) / (np.linalg.norm(rms) + 1e-12)
+    )
+    ratios = rms[1:] / np.maximum(rms[:-1], 1e-30)
+    # linear drift fit: rms(t) ≈ a + b·t — the converged-constant-
+    # increment regime has b ≈ median(rms_delta)
+    A = np.vstack([t, np.ones_like(t)]).T
+    coef, *_ = np.linalg.lstsq(A, rms, rcond=None)
+    lin_err = float(
+        np.linalg.norm(rms - A @ coef) / (np.linalg.norm(rms) + 1e-12)
+    )
+    return {
+        "rms": [float(v) for v in rms],
+        "rms_delta": [float(v) for v in rms_d],
+        "walk_fit_rel_err": fit_err,
+        "linear_fit_rel_err": lin_err,
+        "linear_slope": float(coef[0]),
+        "contraction_ratio": float(np.mean(ratios)) if len(ratios) else 1.0,
+    }

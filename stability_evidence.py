@@ -1,4 +1,4 @@
-"""Produce STABILITY_r04.json: full-resolution numerical-stability
+"""Produce STABILITY_r05.json: full-resolution numerical-stability
 evidence for the flagship three (SURVEY §7 hard part 1).
 
 On the real TPU, for pangu / fourcastnet_v2 / graphcast at production
@@ -9,7 +9,12 @@ resolution:
    normalized-space RMS / max-abs / finite tracked by a stats-only
    lax.scan (the 40-frame output stack would exceed HBM);
 2. a bf16-vs-fp32(``highest`` matmul precision) divergence curve over
-   10 steps — the closest offline proxy to the allclose north star.
+   10 steps — the closest offline proxy to the allclose north star;
+3. a same-precision ε-perturbed-IC CONTROL curve separating the
+   model's chaotic amplification from precision error (and implying
+   the achievable step-N allclose tolerance);
+4. a state/increment RMS decomposition explaining the random-weight
+   trajectory shape (residual random walk vs spectral contraction).
 
 Usage:  python stability_evidence.py [--steps 40] [--div-steps 10]
         python stability_evidence.py --fast      # pangu only, 6/3 steps
@@ -36,7 +41,7 @@ def main() -> int:
     ap.add_argument("--div-steps", type=int, default=10)
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--models", default="pangu,fourcastnet_v2,graphcast")
-    ap.add_argument("--out", default="STABILITY_r04.json")
+    ap.add_argument("--out", default="STABILITY_r05.json")
     ap.add_argument("--merge", action="store_true",
                     help="update only the listed models inside an "
                          "existing artifact")
@@ -48,6 +53,8 @@ def main() -> int:
 
     from skyrim_tpu.utils.stability import (
         climatological_params,
+        delta_decomposition,
+        perturbation_control,
         precision_divergence,
         stability_rollout,
         synthetic_ic,
@@ -66,13 +73,12 @@ def main() -> int:
             m for m in prior.get("models", []) if m.get("model") not in run_set
         ]
 
-    #: fp32-leg config overrides: GraphCast's doubled activation width
-    #: exhausts HBM at full res unless the edge MLPs scan in more chunks
-    # GraphCast's fp32 leg keeps the Pallas kernels (the XLA fallback
-    # materializes edge-wide f32 intermediates that exhaust HBM at full
-    # res); the scoped-VMEM limit is raised per-compile so the
-    # bf16-tuned g2m block (125.3 MiB at f32) fits physical VMEM
-    FP32_PALLAS = {"graphcast"}
+    # GraphCast's fp32 leg runs on the CPU BACKEND: its f32 edge caches
+    # alone (~12.8 GiB) exhaust the 16 GiB chip even with the legs run
+    # sequentially (the r04/r05 RESOURCE_EXHAUSTED records), while host
+    # RAM is not so constrained — and a CPU-compiled fp32 leg is a
+    # cross-backend truth source on top of the precision split.
+    FP32_CPU = {"graphcast"}
 
     def flush():
         with open(args.out, "w") as f:
@@ -80,26 +86,41 @@ def main() -> int:
 
     for name in args.models.split(","):
         t0 = time.time()
-        model = flagship(name)
-        params = climatological_params(model, jax.random.key(0))
-        x0 = synthetic_ic(model)
-        rec = {"model": name, "grid": list(model.grid.shape),
-               "channels": len(model.channels)}
+        rec = {"model": name}
         out["models"].append(rec)
 
         try:
+            # construction inside the try so an init-time OOM is recorded
+            # and the loop continues with the next model
+            model = flagship(name)
+            params = climatological_params(model, jax.random.key(0))
+            x0 = synthetic_ic(model)
+            rec["grid"] = list(model.grid.shape)
+            rec["channels"] = len(model.channels)
+
             t1 = time.time()
             rec["rollout"] = stability_rollout(model, params, x0, args.steps)
             rec["rollout_wall_s"] = round(time.time() - t1, 2)
             flush()  # incremental: a later model's failure loses nothing
 
             t1 = time.time()
+            rec["decomposition"] = delta_decomposition(
+                model, params, x0, args.steps
+            )
+            rec["control"] = perturbation_control(
+                model, params, x0, args.div_steps
+            )
+            rec["control_wall_s"] = round(time.time() - t1, 2)
+            flush()
+
+            t1 = time.time()
             rec["divergence"] = precision_divergence(
                 model, params, x0, args.div_steps,
-                fp32_pallas=name in FP32_PALLAS,
                 # GraphCast cannot hold both legs' multi-GiB edge caches
                 # resident on one 16 GiB chip — run the legs sequentially
-                sequential=name in FP32_PALLAS,
+                # with the fp32 leg on the host backend
+                sequential=name in FP32_CPU,
+                fp32_device="cpu" if name in FP32_CPU else None,
             )
             rec["divergence_wall_s"] = round(time.time() - t1, 2)
         except Exception as e:  # record and continue with the next model

@@ -126,3 +126,54 @@ def test_stream_wall_is_scan_plus_bounded_overhead(small_dlwp, tmp_path):
     # (compression shares the cores), plus a fixed dispatch constant —
     # but must not blow up multiplicatively beyond that
     assert t_stream < 2.5 * t_scan + 2.0, (t_stream, t_scan)
+
+
+def test_stream_save_filter_vars_on_device(small_dlwp, tmp_path):
+    """filter_vars selects the channel subset ON DEVICE before the D2H
+    fetch: the store holds only the subset, values matching the full
+    rollout's corresponding channels."""
+    model, params = small_dlwp
+    ic = np.random.default_rng(1).normal(size=(2, 7, 73, 144)).astype(
+        np.float32
+    )
+    sub = (model.channels[2], model.channels[5])
+
+    target = stream_save_forecast(
+        model, params, ic, START, n_steps=3,
+        config=SaveConfig(forecast_id="tf", output_dir=str(tmp_path),
+                          filter_vars=sub),
+    )
+    saved = load_forecast(target)
+    assert list(saved.coords["channel"]) == list(sub)
+    assert saved.sizes["time"] == 3
+
+    state = model.init_state(params, ic)
+    _, ys = scan_rollout(model, params, state, n_steps=3)
+    idx = [model.channels.index(c) for c in sub]
+    got = saved.transpose("time", "channel", "lat", "lon").data
+    np.testing.assert_allclose(got, np.asarray(ys)[:3, idx], atol=1e-6)
+
+
+def test_stream_save_filter_vars_f16(small_dlwp, tmp_path):
+    """The deployment config (f16 + variable subset) round-trips to
+    cast precision."""
+    model, params = small_dlwp
+    ic = np.random.default_rng(2).normal(size=(2, 7, 73, 144)).astype(
+        np.float32
+    )
+    sub = (model.channels[0],)
+    target = stream_save_forecast(
+        model, params, ic, START, n_steps=2, save_dtype="float16",
+        config=SaveConfig(forecast_id="tf16", output_dir=str(tmp_path),
+                          filter_vars=sub),
+    )
+    saved = load_forecast(target)
+    assert saved.data.dtype == np.float16
+    state = model.init_state(params, ic)
+    _, ys = scan_rollout(model, params, state, n_steps=2)
+    got = saved.transpose("time", "channel", "lat", "lon").data
+    ref = np.asarray(ys)[:2, [0]]
+    np.testing.assert_allclose(
+        got.astype(np.float32), ref, rtol=2e-3,
+        atol=2e-3 * float(np.abs(ref).max()),
+    )

@@ -137,3 +137,47 @@ def test_end_to_end_tiny_manual_pangu():
     assert rec["collectives"]["n_collectives"] > 0
     assert rec["collectives"]["total_ici_bytes"] > 0
     assert 0 < rec["projection"]["projected_efficiency"] <= 1
+
+
+def test_dcn_egress_ring_permute():
+    """A shift-by-1 ppermute on an 8-ring over 2x4-chip hosts crosses
+    each host boundary once: per-host egress = one payload."""
+    from skyrim_tpu.parallel.collective_analysis import dcn_egress_per_host
+
+    colls = [{"kind": "collective-permute", "bytes": 1000,
+              "ici_bytes": 1000, "group_size": 8}]
+    assert dcn_egress_per_host(colls, 8, 4) == 1000
+    # shift-by-2: the 2 edge devices of each host egress
+    colls[0]["ici_bytes"] = 2000
+    assert dcn_egress_per_host(colls, 8, 4) == 2000
+    # single host: no DCN at all
+    assert dcn_egress_per_host(colls, 4, 4) == 0.0
+
+
+def test_dcn_egress_all_gather_and_all_to_all():
+    from skyrim_tpu.parallel.collective_analysis import dcn_egress_per_host
+
+    ag = [{"kind": "all-gather", "bytes": 800, "ici_bytes": 700,
+           "group_size": 8}]
+    assert dcn_egress_per_host(ag, 8, 4) == 800 * 7 / 8
+    a2a = [{"kind": "all-to-all", "bytes": 800, "ici_bytes": 0,
+            "group_size": 8}]
+    # half of each of the 4 local devices' payload targets the far host
+    assert dcn_egress_per_host(a2a, 8, 4) == 4 * 800 * 4 / 8
+
+
+def test_project_multihost_algebra():
+    """With zero DCN bytes the 1->2-host efficiency collapses to the
+    ICI-only ratio; adding DCN time strictly lowers it and flips the
+    binding term when dominant."""
+    from skyrim_tpu.parallel.collective_analysis import project_multihost
+
+    base = project_multihost(0.1, ici_bytes_N=0, dcn_bytes_per_host=0,
+                             n_devices=8, chips_per_host=4, ici_bytes_C=0)
+    assert abs(base["projected_efficiency_1_to_H_hosts"] - 1.0) < 1e-9
+    heavy = project_multihost(0.1, ici_bytes_N=0,
+                              dcn_bytes_per_host=2.5e9,  # 0.1 s of DCN
+                              n_devices=8, chips_per_host=4, ici_bytes_C=0)
+    assert heavy["projected_efficiency_1_to_H_hosts"] < 0.25
+    assert heavy["binding_term"] == "t_dcn"
+    assert heavy["hosts"] == 2

@@ -109,3 +109,36 @@ def test_fuxi_quantized_cascade(small_fuxi, rng):
         state, y = step(qparams, state)
         outs.append(np.asarray(y))
     assert all(np.isfinite(o).all() for o in outs)
+
+
+def test_fuxi_int8_serving_path(small_fuxi, rng):
+    """serve_int8: trunk GEMMs run as int8 MXU dots via the ``int8``
+    collection — the bf16 kernels are REMOVED from the params tree,
+    outputs stay close to the bf16 forward, and the cascade switch
+    still steps across a stage boundary."""
+    model, params = small_fuxi
+    sparams = model.quantize_params(params, min_size=256, serve_int8=True)
+
+    # the served kernels left the params tree entirely
+    stage = sparams["stages"][0]
+    assert "int8" in stage and stage["int8"], "int8 collection missing"
+    pairs_a = stage["params"]["pairs"]["a"]
+    assert "qkv" not in pairs_a and "Dense_0" not in pairs_a
+    i8a = stage["int8"]["pairs"]["a"]
+    assert i8a["qkv_q"].dtype == jnp.int8
+    # stacked nn.scan kernels get PER-LAYER scales (reduced over the
+    # contraction dim only)
+    assert i8a["qkv_scale"].shape[0] == i8a["qkv_q"].shape[0]
+
+    x = rng.normal(size=model.state_shape).astype(np.float32)
+    y0 = np.asarray(jax.jit(model.apply)(params, x))
+    y1 = np.asarray(jax.jit(model.apply)(sparams, x))
+    assert np.isfinite(y1).all()
+    denom = np.abs(y0).mean() + 1e-6
+    assert np.abs(y1 - y0).mean() / denom < 0.15
+
+    state = model.init_state(sparams, x)
+    step = jax.jit(lambda p, s: model.advance(p, s))
+    for _ in range(4):  # stage_steps=2 → crosses into stage 1
+        state, y = step(sparams, state)
+        assert np.isfinite(np.asarray(y)).all()

@@ -55,3 +55,35 @@ def test_precision_divergence_small_at_step1(tiny_pangu):
     assert len(d["rel_l2"]) == 2
     # bf16-vs-fp32 after one step is rounding-scale, not structural
     assert 0.0 < d["rel_l2"][0] < 0.05
+
+
+def test_perturbation_control_scales_with_eps(tiny_pangu):
+    """The same-precision control curve starts at ~eps scale (linear
+    regime) and stays finite — the chaos-vs-precision separator."""
+    from skyrim_tpu.utils.stability import perturbation_control
+
+    model, params = tiny_pangu
+    x0 = synthetic_ic(model)
+    c = perturbation_control(model, params, x0, 3, eps=1e-4)
+    assert len(c["rel_l2"]) == 3
+    assert all(np.isfinite(v) for v in c["rel_l2"])
+    # step-1 relative divergence is the same order as the IC perturbation
+    assert 1e-6 < c["rel_l2"][0] < 1e-1
+    assert c["implied_bf16_floor_last_step"] > 0
+
+
+def test_delta_decomposition_shapes(tiny_pangu):
+    """State/increment RMS decomposition is finite and well-formed.
+
+    The fit statistics are DESCRIPTIVE — which regime (random walk vs
+    contraction) applies depends on the model's architecture and is
+    interpreted against the full-res artifacts, not asserted here."""
+    from skyrim_tpu.utils.stability import delta_decomposition
+
+    model, params = tiny_pangu
+    x0 = synthetic_ic(model)
+    d = delta_decomposition(model, params, x0, 8)
+    assert len(d["rms"]) == 8 and len(d["rms_delta"]) == 8
+    assert all(np.isfinite(v) for v in d["rms"] + d["rms_delta"])
+    assert np.isfinite(d["walk_fit_rel_err"])
+    assert all(v > 0 for v in d["rms_delta"])

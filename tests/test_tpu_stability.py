@@ -29,7 +29,14 @@ def _flagship(name):
 @pytest.mark.parametrize("name", ["pangu", "fourcastnet_v2", "graphcast"])
 def test_full_res_rollout_stable(name):
     """10 full-res steps from a climatological IC: finite throughout,
-    no monotone normalized-RMS drift (geometric growth/step ≤ 1.5)."""
+    no monotone normalized-RMS drift.
+
+    The 1.05/step bound would catch genuine exponential drift while
+    admitting the benign random-weight behaviors the decomposition
+    harness (utils/stability.delta_decomposition) attributes: residual
+    models random-walk at ≤ ~1.04/step over the second half (GraphCast
+    measured 1.035, STABILITY artifacts), direct-prediction models
+    contract (< 1)."""
     import jax
 
     from skyrim_tpu.utils.stability import (
@@ -43,7 +50,7 @@ def test_full_res_rollout_stable(name):
     x0 = synthetic_ic(model)
     r = stability_rollout(model, params, x0, 10)
     assert r["all_finite"], f"{name}: non-finite output in rollout"
-    assert r["growth_per_step_geo"] < 1.5, (
+    assert r["growth_per_step_geo"] < 1.05, (
         f"{name}: monotone drift, growth/step {r['growth_per_step_geo']:.3f} "
         f"rms {r['rms']}"
     )
