@@ -9,10 +9,17 @@ and result's PHYSICAL bytes (tile-padded per the printed layout), the
 quantity the HBM actually moves.  The reference has no analogue (its
 profiling story is wall-clock timeit only, SURVEY.md §5).
 
-Caveats, deliberate and documented:
-  * fusions are charged full operand+result physical bytes — an upper
-    bound when a fusion reads a slice of an operand; paired with the
-    model floor this still yields brackets ≤2× wide in practice;
+Accounting rules, deliberate and documented:
+  * fusion operands are charged by what the fusion BODY actually reads:
+    a parameter consumed only through ``slice``/``dynamic-slice``/
+    ``gather`` ops is charged the sum of those reads (capped at the
+    full buffer), otherwise the full physical buffer — this closes the
+    round-4 "fusion-reads-full-operand" over-count that pushed three
+    models past 100 % of wall×BW;
+  * top-level ``slice``/``dynamic-slice`` read only their window
+    (2×result); ``gather`` reads ≈ its result rows from the source
+    (min(source, result)) plus the indices; ``dynamic-update-slice``
+    reads its update and writes that region in place (2×update);
   * while-loop bodies are multiplied by the trip count when the loop
     condition is the canonical ``compare(gte, constant), LT`` pattern
     (lax.scan / fori_loop lower this way), else counted once;
@@ -106,6 +113,7 @@ class Instr:
     result_bytes: int
     operands: list[str]
     line: str
+    calls: str | None = None  # fusion body computation name
 
 
 @dataclass
@@ -145,6 +153,10 @@ def parse_hlo(text: str) -> dict[str, Computation]:
         name, type_str, op = m.group("name"), m.group("type"), m.group("op")
         operands = re.findall(r"%([\w.\-]+)", m.group("args").split("metadata=")[0])
         inst = Instr(name, op, _shape_bytes(type_str), operands, line)
+        if op == "fusion":
+            fm = re.search(r"calls=%?([\w.\-]+)", line)
+            if fm:
+                inst.calls = fm.group(1)
         cur.instrs[name] = inst
         if op == "while":
             cm = re.search(r"condition=%?([\w.\-]+)", line)
@@ -197,6 +209,32 @@ def _trip_count(
     return None
 
 
+_SLICING_OPS = ("slice", "dynamic-slice", "gather")
+
+
+def _fusion_param_reads(body: Computation) -> int:
+    """Bytes a fusion body actually reads from its parameters.
+
+    A parameter consumed ONLY through slicing ops is charged the sum of
+    those reads (capped at the full buffer); any other use charges the
+    full physical buffer."""
+    users: dict[str, list[Instr]] = {}
+    for i in body.instrs.values():
+        for o in i.operands:
+            users.setdefault(o, []).append(i)
+    total = 0
+    for inst in body.instrs.values():
+        if inst.op != "parameter":
+            continue
+        full = inst.result_bytes
+        us = users.get(inst.name, [])
+        if us and all(u.op in _SLICING_OPS for u in us):
+            total += min(sum(u.result_bytes for u in us), full)
+        else:
+            total += full
+    return total
+
+
 def computation_traffic(
     comps: dict[str, Computation],
     comp: Computation,
@@ -214,11 +252,31 @@ def computation_traffic(
     for inst in comp.instrs.values():
         if inst.op in _SKIP_OPS or inst.op == "while":
             continue
-        b = inst.result_bytes
-        for o in inst.operands:
-            src = comp.instrs.get(o)
-            if src is not None:
-                b += src.result_bytes
+        if inst.op == "fusion" and inst.calls in comps:
+            b = inst.result_bytes + _fusion_param_reads(comps[inst.calls])
+        elif inst.op in ("slice", "dynamic-slice"):
+            b = 2 * inst.result_bytes  # reads only its window
+        elif inst.op == "gather":
+            src = comp.instrs.get(inst.operands[0]) if inst.operands else None
+            src_b = src.result_bytes if src else 0
+            idx = (
+                comp.instrs.get(inst.operands[1]).result_bytes
+                if len(inst.operands) > 1 and inst.operands[1] in comp.instrs
+                else 0
+            )
+            b = inst.result_bytes + min(src_b, inst.result_bytes) + idx
+        elif inst.op == "dynamic-update-slice":
+            upd = (
+                comp.instrs.get(inst.operands[1])
+                if len(inst.operands) > 1 else None
+            )
+            b = 2 * (upd.result_bytes if upd else inst.result_bytes)
+        else:
+            b = inst.result_bytes
+            for o in inst.operands:
+                src = comp.instrs.get(o)
+                if src is not None:
+                    b += src.result_bytes
         total += b
         if _rows is not None and b:
             _rows.append((b * _mult, inst.op, inst.name, inst.line.strip()[:180]))

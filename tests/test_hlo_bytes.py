@@ -107,3 +107,73 @@ def test_roofline_physical_integration():
     # physical replaces the loose cost-model bound in the verdict:
     # 0.5 GiB / (1 ms × 819 GB/s) ≈ 65 % ≥ 50 % → memory
     assert out["bound"] == "memory"
+
+
+_SLICE_FUSION = """\
+HloModule sf
+
+%fused_slices (p0: bf16[4,1000,128]) -> (bf16[1000,128], bf16[1000,128]) {
+  %p0 = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} parameter(0)
+  %s0 = bf16[1000,128]{1,0:T(16,128)(2,1)} slice(%p0), slice={[0:1], [0:1000], [0:128]}
+  %s1 = bf16[1000,128]{1,0:T(16,128)(2,1)} slice(%p0), slice={[1:2], [0:1000], [0:128]}
+  ROOT %t = (bf16[1000,128]{1,0:T(16,128)(2,1)}, bf16[1000,128]{1,0:T(16,128)(2,1)}) tuple(%s0, %s1)
+}
+
+%fused_full (p0: bf16[4,1000,128]) -> bf16[4,1000,128] {
+  %p0 = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} parameter(0)
+  ROOT %n = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} negate(%p0)
+}
+
+ENTRY %main (a: bf16[4,1000,128]) -> bf16[4,1000,128] {
+  %a = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} parameter(0)
+  %f1 = (bf16[1000,128]{1,0:T(16,128)(2,1)}, bf16[1000,128]{1,0:T(16,128)(2,1)}) fusion(%a), kind=kLoop, calls=%fused_slices
+  ROOT %f2 = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} fusion(%a), kind=kLoop, calls=%fused_full
+}
+"""
+
+
+def test_fusion_slice_aware_param_reads():
+    """A fusion reading two 1-of-4 slices is charged 2 slices, not the
+    full operand; a fusion consuming the whole buffer stays full."""
+    from skyrim_tpu.utils.hlo_bytes import computation_traffic
+
+    comps = parse_hlo(_SLICE_FUSION)
+    entry = next(c for c in comps.values() if c.is_entry)
+    rows = []
+    computation_traffic(comps, entry, _rows=rows)
+    by_name = {name: b for b, _, name, _ in rows}
+    buf = 1000 * 128 * 2  # one (1000,128) bf16 slice, padded rows 1000→1008
+    slice_buf = 1008 * 128 * 2
+    full = 4 * slice_buf
+    # f1: result = 2 slices + reads 2 slices (NOT the full 4-slice buffer)
+    assert by_name["f1"] == 2 * slice_buf + 2 * slice_buf, (by_name, buf)
+    # f2: full read + full write
+    assert by_name["f2"] == 2 * full
+
+
+_TOP_OPS = """\
+HloModule t
+
+ENTRY %main (a: bf16[4,1000,128], i: s32[500,1]) -> bf16[500,128] {
+  %a = bf16[4,1000,128]{2,1,0:T(16,128)(2,1)} parameter(0)
+  %i = s32[500,1]{1,0:T(8,128)} parameter(1)
+  %s = bf16[1000,128]{1,0:T(16,128)(2,1)} slice(%a), slice={[2:3], [0:1000], [0:128]}
+  ROOT %g = bf16[500,128]{1,0:T(16,128)(2,1)} gather(%s, %i), offset_dims={1}
+}
+"""
+
+
+def test_top_level_slice_and_gather_reads():
+    from skyrim_tpu.utils.hlo_bytes import computation_traffic
+
+    comps = parse_hlo(_TOP_OPS)
+    entry = next(c for c in comps.values() if c.is_entry)
+    rows = []
+    computation_traffic(comps, entry, _rows=rows)
+    by_name = {name: b for b, _, name, _ in rows}
+    slice_buf = 1008 * 128 * 2
+    g_out = 512 * 128 * 2  # bf16 sublane tile 16: 500 → 512 rows
+    idx = 504 * 128 * 4  # s32 index buffer padded to (8,128) tiles
+    assert by_name["s"] == 2 * slice_buf  # window only, not the 4x buffer
+    # gather: result + ~result rows from source + indices
+    assert by_name["g"] == g_out + min(slice_buf, g_out) + idx
