@@ -104,8 +104,9 @@ class SwinBlock2D(nn.Module):
     def _dense(self, x, features: int, name: str):
         """nn.Dense, or the int8 MXU path when this block's weights
         arrive in the ``int8`` collection (quantize.split_dense_int8):
-        int8×int8→int32 ``dot_general`` at 2× the bf16 MXU rate, with
-        the bf16 kernel never materialized."""
+        int8×int8→int32 ``dot_general`` (measured 1.09-1.15× the bf16
+        MXU rate on v5e) with the bf16 kernel never materialized —
+        halving trunk weight HBM traffic."""
         if self.has_variable("int8", f"{name}_q"):
             from skyrim_tpu.quantize import QuantizedArray, int8_dot
 
@@ -492,7 +493,8 @@ class FuXiModel(PrognosticModel):
         (qkv/proj/MLP — ~99 % of the step FLOPs) through int8×int8→int32
         MXU matmuls via the ``int8`` flax collection: those kernels
         never materialize in bf16 at all, weight HBM traffic per step
-        halves, and the MXU runs them at 2× the bf16 rate."""
+        halves, and the int8 dots measure 1.09-1.15× the bf16 rate on
+        v5e (quantize.py module docstring)."""
         from skyrim_tpu.quantize import quantize_tree, split_dense_int8
 
         if not serve_int8:

@@ -609,14 +609,23 @@ class GraphCastNet(nn.Module):
         dt = self.dtype
 
         grid_lat = self.embed_grid(grid_in, x_transposed=True)
+        # node/edge latents flow through the residual rounds, so they
+        # must run at the COMPUTE dtype even when the cache was built at
+        # another precision (the fp32 stability leg shares the bf16
+        # cache — static biases are upcast inside the kernels, but
+        # these two are stateful and must cast here)
         mesh_lat = cache.get("mesh_embed")
         if mesh_lat is None:
             mesh_lat = self.embed_mesh(jnp.asarray(g["mesh_nfeat"], dt))
+        else:
+            mesh_lat = mesh_lat.astype(dt)
         mm_lat = cache.get("mm_edge")
         if mm_lat is None:
             mm_lat = self.embed_mm(
                 jnp.asarray(self.mesh_plan["efeat_blocks"], dt)
             )
+        else:
+            mm_lat = mm_lat.astype(dt)
 
         # --- encoder: grid → mesh ---
         mesh_lat = self.g2m(grid_lat, mesh_lat, cache.get("g2m_bias"))

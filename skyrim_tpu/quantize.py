@@ -12,8 +12,13 @@ TPU-native design, two tiers:
   per-step dequant cost is one stage's bytes (~1.4 GB ≈ 2 ms at HBM
   speed) against FuXi's 0.55 s compute-bound step — ~0.4 %.
 * **int8×int8→int32 MXU matmuls** (``int8_dot``) — dynamic per-row
-  activation scales; the v5e MXU runs int8 at 2× the bf16 FLOP rate
-  (394 vs 197 TOPS), the serving path for throughput-bound GEMMs.
+  activation scales.  MEASURED on the v5e through XLA (round 5,
+  33k×1536×1536 GEMM loop): raw s8×s8→s32 runs 214 T/s vs bf16's
+  182 TFLOP/s (1.09×), and 209 T/s end-to-end with the dynamic
+  activation quantization (1.15×) — XLA's lowering does NOT reach the
+  hardware's nominal 2× int8 rate.  The serving win is therefore the
+  HBM side: trunk weights stream at half the bytes (FuXi: 2.7 →
+  1.35 GB/step) on top of the ~15 % GEMM rate gain.
 
 Everything is a pytree transform: ``quantize_tree`` /
 ``dequantize_tree`` round-trip any parameter pytree, skipping small or
@@ -137,8 +142,10 @@ def int8_dot(x: jax.Array, w: QuantizedArray) -> jax.Array:
     """x (…, K) f32/bf16 @ quantized w (K, N) → (…, N) in x.dtype.
 
     Dynamic symmetric per-row activation quantization, then an
-    int8×int8→int32 ``dot_general`` — the layout the v5e MXU runs at 2×
-    its bf16 rate — rescaled by (row scale × channel scale).
+    int8×int8→int32 ``dot_general``, rescaled by (row scale × channel
+    scale).  Measured v5e rate through XLA: 1.15× bf16 end-to-end
+    (1.09× for the raw int8 dot — see module docstring); weight reads
+    halve.
     """
     xf = x.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -166,9 +173,10 @@ def split_dense_int8(
     contraction dim only, so stacked ``nn.scan`` kernels (P, K, N) get
     per-layer scales (P, 1, N)), ``{name}_bias`` (exact) — consumed by
     ``int8_dot`` inside the block (models/fuxi.py ``_dense``).  The
-    MXU runs the int8×int8→int32 layout at 2× its bf16 rate, and the
     weights never materialize in bf16 at all (vs the at-rest tier's
-    in-branch dequantization).
+    in-branch dequantization) — halving their HBM traffic — and the
+    int8 dot measures 1.09-1.15× the bf16 MXU rate on v5e (module
+    docstring).
 
     Returns ``(rest, int8_tree)``: ``rest`` is the params tree with the
     converted Dense subtrees REMOVED (flax never reads them — the block

@@ -158,6 +158,8 @@ def precision_divergence(
     fp32_pallas: bool = False,
     sequential: bool = False,
     fp32_device: str | None = None,
+    fp32_strip_cache: bool = False,
+    fp32_share_cache: bool = False,
 ) -> dict:
     """Per-step relative L2 between bf16 and fp32(highest) rollouts.
 
@@ -191,7 +193,23 @@ def precision_divergence(
     and exhaust a 16 GiB chip even sequentially; the host's RAM is not
     so constrained, and a CPU-backend fp32 leg is additionally a
     CROSS-BACKEND truth source (different compiler lowering entirely).
-    Implies the non-Pallas XLA fallback for that leg.
+    Implies the non-Pallas XLA fallback for that leg.  (On this 2-core
+    host a full-res CPU leg takes hours — ``fp32_strip_cache`` below is
+    the practical on-chip alternative.)
+
+    ``fp32_strip_cache`` drops the derived edge-bias cache from the
+    fp32 leg's params instead: the step recomputes the biases IN-GRAPH
+    each call (models/graphcast.py handles ``cache=None``).  In
+    practice the recompute inlines the static edge tables as ~150 MB of
+    program constants and the tunneled remote compiler rejects the
+    upload — kept for non-tunneled deployments.
+
+    ``fp32_share_cache`` reuses the bf16 leg's DERIVED cache for the
+    fp32 leg (kernels upcast the static biases at read; the stateful
+    entries cast to f32 in the model).  Both legs then see IDENTICAL
+    static-bias inputs and the curve isolates STEP-COMPUTE precision —
+    the quantity that actually accumulates over a rollout — while
+    peak HBM stays ~bf16-cache + fp32 step (~10 GiB, fits the chip).
     """
     import contextlib
     import os
@@ -232,7 +250,8 @@ def precision_divergence(
         del sa  # (ya only exists when n_calls > 0)
         if n_calls:
             del ya
-        if isinstance(params, dict) and "cache" in params:
+        if (not fp32_share_cache and isinstance(params, dict)
+                and "cache" in params):
             for leaf in jax.tree.leaves(params["cache"]):
                 if hasattr(leaf, "delete"):
                     leaf.delete()
@@ -275,7 +294,12 @@ def precision_divergence(
                 else:
                     os.environ["SKYRIM_NO_PALLAS"] = prev
         else:
-            params_fp = _make_params_fp()
+            if fp32_share_cache and isinstance(params, dict):
+                params_fp = dict(params)  # bf16 cache shared verbatim
+            elif fp32_strip_cache and isinstance(params, dict):
+                params_fp = {k: v for k, v in params.items() if k != "cache"}
+            else:
+                params_fp = _make_params_fp()
             sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
             if fp32_pallas:
                 step_fp = jax.jit(_fp).lower(params_fp, sb0).compile(

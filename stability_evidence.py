@@ -73,12 +73,14 @@ def main() -> int:
             m for m in prior.get("models", []) if m.get("model") not in run_set
         ]
 
-    # GraphCast's fp32 leg runs on the CPU BACKEND: its f32 edge caches
-    # alone (~12.8 GiB) exhaust the 16 GiB chip even with the legs run
-    # sequentially (the r04/r05 RESOURCE_EXHAUSTED records), while host
-    # RAM is not so constrained — and a CPU-compiled fp32 leg is a
-    # cross-backend truth source on top of the precision split.
-    FP32_CPU = {"graphcast"}
+    # GraphCast's fp32 leg cannot hold its f32 edge caches (~12.8 GiB)
+    # on the 16 GiB chip (the r04/r05 RESOURCE_EXHAUSTED records), the
+    # cache-stripped in-graph recompute inlines ~150 MB of table
+    # constants the tunneled remote compiler rejects, and a CPU-backend
+    # leg takes hours on this 2-core host — so the fp32 leg SHARES the
+    # bf16 leg's derived cache (identical static-bias inputs; the curve
+    # isolates step-compute precision, which is what accumulates).
+    FP32_SHARE = {"graphcast"}
 
     def flush():
         with open(args.out, "w") as f:
@@ -117,10 +119,13 @@ def main() -> int:
             rec["divergence"] = precision_divergence(
                 model, params, x0, args.div_steps,
                 # GraphCast cannot hold both legs' multi-GiB edge caches
-                # resident on one 16 GiB chip — run the legs sequentially
-                # with the fp32 leg on the host backend
-                sequential=name in FP32_CPU,
-                fp32_device="cpu" if name in FP32_CPU else None,
+                # resident on one 16 GiB chip — legs run sequentially
+                # and the fp32 leg SHARES the bf16 static-bias cache
+                # (kernels upcast at read; the curve isolates the
+                # step-compute precision that accumulates over steps)
+                sequential=name in FP32_SHARE,
+                fp32_pallas=name in FP32_SHARE,
+                fp32_share_cache=name in FP32_SHARE,
             )
             rec["divergence_wall_s"] = round(time.time() - t1, 2)
         except Exception as e:  # record and continue with the next model
