@@ -226,7 +226,10 @@ def precision_divergence(
         )
 
     n_calls = -(-n_steps // model.frames_out)
-    step_bf = jax.jit(lambda p, s: model.advance(p, s))
+    # donate the state: the new state aliases the old buffer, shaving
+    # one full state copy off peak HBM (the GraphCast fp32 leg sits at
+    # ~15.3 GiB of a 16 GiB chip without it)
+    step_bf = jax.jit(lambda p, s: model.advance(p, s), donate_argnums=(1,))
 
     norm_np = {
         "mean": np.asarray(norm["mean"], np.float32),
@@ -302,7 +305,9 @@ def precision_divergence(
                 params_fp = _make_params_fp()
             sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
             if fp32_pallas:
-                step_fp = jax.jit(_fp).lower(params_fp, sb0).compile(
+                step_fp = jax.jit(_fp, donate_argnums=(1,)).lower(
+                    params_fp, sb0
+                ).compile(
                     compiler_options={"xla_tpu_scoped_vmem_limit_kib": 130048}
                 )
             else:
@@ -480,3 +485,34 @@ def delta_decomposition(
         "linear_slope": float(coef[0]),
         "contraction_ratio": float(np.mean(ratios)) if len(ratios) else 1.0,
     }
+
+
+def params_divergence(
+    model: PrognosticModel,
+    params_a: Any,
+    params_b: Any,
+    x0: np.ndarray,
+    n_steps: int,
+) -> dict:
+    """Per-step relative L2 between rollouts of the SAME model under two
+    parameter trees (e.g. bf16 vs int8-at-rest weights) — the
+    weight-quantization analog of ``precision_divergence``: same
+    compute dtype and kernels, only the weights differ."""
+    n_calls = -(-n_steps // model.frames_out)
+    norm = params_a["norm"]
+    step = jax.jit(lambda p, s: model.advance(p, s))
+
+    @jax.jit
+    def rel_l2(ya, yb):
+        a = normalize(norm, ya.astype(jnp.float32))
+        b = normalize(norm, yb.astype(jnp.float32))
+        return jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12)
+
+    sa = model.init_state(params_a, jnp.asarray(x0))
+    sb = model.init_state(params_b, jnp.asarray(x0))
+    curve = []
+    for _ in range(n_calls):
+        sa, ya = step(params_a, sa)
+        sb, yb = step(params_b, sb)
+        curve.append(float(rel_l2(ya, yb)))
+    return {"n_steps": n_steps, "rel_l2": curve}

@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--div-steps", type=int, default=10)
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--models", default="pangu,fourcastnet_v2,graphcast")
+    ap.add_argument("--int8-fuxi", action="store_true",
+                    help="add the quantized tier: 40-step int8-at-rest "
+                         "FuXi (all 3 stages resident) vs bf16 baseline")
     ap.add_argument("--out", default="STABILITY_r05.json")
     ap.add_argument("--merge", action="store_true",
                     help="update only the listed models inside an "
@@ -146,6 +149,56 @@ def main() -> int:
             f"({rec['total_wall_s']:.0f}s)",
             flush=True,
         )
+
+    # --- quantized tier (round-5 ask 10): int8-at-rest FuXi, all three
+    # ~1.37 B stages RESIDENT (the capacity claim), 40-step rollout
+    # through the same harness + per-step drift vs the bf16 baseline ---
+    if args.int8_fuxi:
+        from skyrim_tpu.utils.stability import params_divergence
+
+        rec = {"model": "fuxi(int8-at-rest)"}
+        out["models"] = [
+            m for m in out["models"] if m.get("model") != rec["model"]
+        ]
+        out["models"].append(rec)
+        try:
+            t0 = time.time()
+            model = flagship("fuxi")
+            params = climatological_params(model, jax.random.key(0))
+            qparams = dict(model.quantize_params(params))
+            qparams["norm"] = params["norm"]
+            from skyrim_tpu.quantize import tree_nbytes
+
+            rec["resident_stage_bytes"] = {
+                "bf16": int(tree_nbytes(params["stages"])),
+                "int8_at_rest": int(tree_nbytes(qparams["stages"])),
+            }
+            x0 = synthetic_ic(model)
+            rec["rollout"] = stability_rollout(model, qparams, x0, args.steps)
+            flush()
+            # drift vs bf16: two resident param sets → trim the bf16
+            # baseline to the 2 stages a 40-step rollout reaches
+            bl = model.trim_stages(params, args.steps)
+            ql = model.trim_stages(qparams, args.steps)
+            rec["weight_divergence_vs_bf16"] = params_divergence(
+                model, bl, ql, x0, args.div_steps
+            )
+            rec["total_wall_s"] = round(time.time() - t0, 2)
+            r = rec["rollout"]
+            print(
+                f"fuxi(int8-at-rest): {r['n_steps']} steps "
+                f"all_finite={r['all_finite']} "
+                f"growth/step {r['growth_per_step_geo']:.4f} | "
+                f"drift vs bf16 step1 "
+                f"{rec['weight_divergence_vs_bf16']['rel_l2'][0]:.3g} "
+                f"step{args.div_steps} "
+                f"{rec['weight_divergence_vs_bf16']['rel_l2'][-1]:.3g}",
+                flush=True,
+            )
+        except Exception as e:
+            rec["error"] = f"{type(e).__name__}: {e}"[:2000]
+            print(f"fuxi(int8): FAILED {rec['error'][:200]}", flush=True)
+        flush()
 
     flush()
     print(f"wrote {args.out}")
