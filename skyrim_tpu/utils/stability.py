@@ -253,8 +253,11 @@ def precision_divergence(
         del sa  # (ya only exists when n_calls > 0)
         if n_calls:
             del ya
-        if (not fp32_share_cache and isinstance(params, dict)
-                and "cache" in params):
+        # the tiled bf16 cache survives only when the fp32 leg shares
+        # it verbatim (share + pallas); the share + fallback mode
+        # rebuilds a plan-layout bf16 cache instead, so free this one
+        if (not (fp32_share_cache and fp32_pallas)
+                and isinstance(params, dict) and "cache" in params):
             for leaf in jax.tree.leaves(params["cache"]):
                 if hasattr(leaf, "delete"):
                     leaf.delete()
@@ -297,10 +300,49 @@ def precision_divergence(
                 else:
                     os.environ["SKYRIM_NO_PALLAS"] = prev
         else:
-            if fp32_share_cache and isinstance(params, dict):
+            if (fp32_share_cache and not fp32_pallas
+                    and isinstance(params, dict)):
+                # fp32 XLA-fallback leg with a BF16 cache in the
+                # fallback's (plan) layout: 4.9 GiB resident vs 6.7
+                # tiled / 12.8 f32, and the chunk-scanned fallback
+                # bounds step temps — the only combination measured to
+                # fit GraphCast's fp32 leg on the 16 GiB chip.  Built
+                # by the BF16 model under SKYRIM_NO_PALLAS (the tiled
+                # leg-A cache was deleted above).
+                prev = os.environ.get("SKYRIM_NO_PALLAS")
+                os.environ["SKYRIM_NO_PALLAS"] = "1"
+                try:
+                    # cache built by a bf16 sibling carrying the SAME
+                    # cfg overrides as the fp32 model (an edge_chunks
+                    # override changes the cache's chunk layout)
+                    model_bf = _with_compute_dtype(
+                        model, model.compute_dtype,
+                        **(fp32_cfg_overrides or {}),
+                    )
+                    params_fp = model_bf.prepare_params(
+                        {k: v for k, v in params.items() if k != "cache"}
+                    )
+                finally:
+                    if prev is None:
+                        os.environ.pop("SKYRIM_NO_PALLAS", None)
+                    else:
+                        os.environ["SKYRIM_NO_PALLAS"] = prev
+            elif fp32_share_cache and isinstance(params, dict):
                 params_fp = dict(params)  # bf16 cache shared verbatim
             elif fp32_strip_cache and isinstance(params, dict):
                 params_fp = {k: v for k, v in params.items() if k != "cache"}
+            elif not fp32_pallas:
+                # the fp32 leg compiles under SKYRIM_NO_PALLAS, so its
+                # derived cache must be built in the SAME (plan) layout
+                prev = os.environ.get("SKYRIM_NO_PALLAS")
+                os.environ["SKYRIM_NO_PALLAS"] = "1"
+                try:
+                    params_fp = _make_params_fp()
+                finally:
+                    if prev is None:
+                        os.environ.pop("SKYRIM_NO_PALLAS", None)
+                    else:
+                        os.environ["SKYRIM_NO_PALLAS"] = prev
             else:
                 params_fp = _make_params_fp()
             sb0 = model_fp.init_state(params_fp, jnp.asarray(x0))
@@ -316,7 +358,9 @@ def precision_divergence(
                 try:
                     # AOT-compile the fp32 leg while the env guard is
                     # active — use_pallas() is consulted at trace time
-                    step_fp = jax.jit(_fp).lower(params_fp, sb0).compile()
+                    step_fp = jax.jit(_fp, donate_argnums=(1,)).lower(
+                        params_fp, sb0
+                    ).compile()
                 finally:
                     if prev is None:
                         os.environ.pop("SKYRIM_NO_PALLAS", None)

@@ -89,7 +89,7 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
 
-    for name in args.models.split(","):
+    for name in [n for n in args.models.split(",") if n and n != "none"]:
         t0 = time.time()
         rec = {"model": name}
         out["models"].append(rec)
@@ -127,7 +127,6 @@ def main() -> int:
                 # (kernels upcast at read; the curve isolates the
                 # step-compute precision that accumulates over steps)
                 sequential=name in FP32_SHARE,
-                fp32_pallas=name in FP32_SHARE,
                 fp32_share_cache=name in FP32_SHARE,
             )
             rec["divergence_wall_s"] = round(time.time() - t1, 2)
