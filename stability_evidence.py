@@ -161,27 +161,54 @@ def main() -> int:
         ]
         out["models"].append(rec)
         try:
+            import jax as _jax
+
+            from skyrim_tpu.quantize import quantize_tree, tree_nbytes
+
             t0 = time.time()
             model = flagship("fuxi")
             params = climatological_params(model, jax.random.key(0))
-            qparams = dict(model.quantize_params(params))
-            qparams["norm"] = params["norm"]
-            from skyrim_tpu.quantize import tree_nbytes
-
-            rec["resident_stage_bytes"] = {
-                "bf16": int(tree_nbytes(params["stages"])),
-                "int8_at_rest": int(tree_nbytes(qparams["stages"])),
-            }
             x0 = synthetic_ic(model)
-            rec["rollout"] = stability_rollout(model, qparams, x0, args.steps)
-            flush()
-            # drift vs bf16: two resident param sets → trim the bf16
-            # baseline to the 2 stages a 40-step rollout reaches
-            bl = model.trim_stages(params, args.steps)
+            # buffer-lifetime choreography for one 16 GiB chip: bf16
+            # (8.2 GB) + int8 (4.1 GB) + step temps cannot all coexist.
+            # Quantize the long stage FIRST and free its bf16 buffers
+            # (the drift tier never reaches it), keeping peak ≈ 11 GB.
+            n_keep = max(1, min(-(-args.steps // model.cfg.stage_steps),
+                                model.cfg.n_stages))
+            from skyrim_tpu.quantize import _should_quantize
+
+            def _free_quantized_sources(stage):
+                # small leaves (biases, norms) pass through quantize_tree
+                # BY REFERENCE — only the large quantized kernels own
+                # bf16 buffers that are now redundant
+                for leaf in _jax.tree.leaves(stage):
+                    if _should_quantize(leaf, 65536) and hasattr(leaf, "delete"):
+                        leaf.delete()
+
+            q_stages = [quantize_tree(s) for s in params["stages"][n_keep:]]
+            for s in params["stages"][n_keep:]:
+                _free_quantized_sources(s)
+            params["stages"] = list(params["stages"][:n_keep])
+            q_stages = [
+                quantize_tree(s) for s in params["stages"]
+            ] + q_stages
+            qparams = {**params, "stages": q_stages}
+            rec["resident_stage_bytes"] = {
+                "bf16_2stage_baseline": int(tree_nbytes(params["stages"])),
+                "int8_at_rest_all3": int(tree_nbytes(qparams["stages"])),
+            }
+            # drift vs bf16 first (both trees resident, trimmed)
             ql = model.trim_stages(qparams, args.steps)
             rec["weight_divergence_vs_bf16"] = params_divergence(
-                model, bl, ql, x0, args.div_steps
+                model, params, ql, x0, args.div_steps
             )
+            flush()
+            # free the bf16 baseline, then the capacity rollout: ALL
+            # THREE int8 stages resident for the full 40 steps
+            for s in params["stages"]:
+                _free_quantized_sources(s)
+            params = None
+            rec["rollout"] = stability_rollout(model, qparams, x0, args.steps)
             rec["total_wall_s"] = round(time.time() - t0, 2)
             r = rec["rollout"]
             print(
