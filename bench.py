@@ -145,20 +145,26 @@ def main() -> None:
             forecast_id="bench_prod", output_dir=tmp,
             filter_vars=prod_vars,
         )
+        # leftover executables/buffers from the full-f32 tier measured a
+        # 3x slowdown on the production tier in-process (HBM pressure on
+        # the tunneled chip); a cache clear restores isolated-run timing
+        jax.clear_caches()
         stream_save_forecast(  # warm the production-shape jit
             model, params, ic, __import__("datetime").datetime(2024, 1, 1),
             n_steps=1, save_dtype="float16",
             config=SaveConfig(forecast_id="warm_prod", output_dir=tmp,
                               filter_vars=prod_vars))
+        # the production claim is the TEN-DAY forecast: measure all 40
+        # steps end-to-end (IC upload included), not a projection
         t0 = time.perf_counter()
         stream_save_forecast(
             model, params, ic, __import__("datetime").datetime(2024, 1, 1),
-            n_steps=n_e2e, save_dtype="float16", config=prod_cfg)
+            n_steps=TEN_DAY_STEPS, save_dtype="float16", config=prod_cfg)
         t_e2e_prod = time.perf_counter() - t0
         shutil.rmtree(tmp, ignore_errors=True)
 
         e2e_step = t_e2e / n_e2e
-        prod_step = t_e2e_prod / n_e2e
+        prod_step = t_e2e_prod / TEN_DAY_STEPS
         bound = max(per_step, t_d2h, t_save)
         e2e = {
             "steps_measured": n_e2e,
@@ -183,7 +189,9 @@ def main() -> None:
                         len(prod_vars) / len(model.channels) / 2, 3),
                 },
                 "e2e_step_s": round(prod_step, 3),
-                "e2e_ten_day_s": round(prod_step * TEN_DAY_STEPS, 1),
+                "e2e_ten_day_MEASURED_s": round(t_e2e_prod, 1),
+                "beats_reference_2min_claim":
+                    bool(t_e2e_prod < 120.0),
             },
             "note": (
                 "overlap_ratio ~1 proves compute/D2H/save overlap; "
