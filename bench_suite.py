@@ -19,12 +19,17 @@ TEN_DAY_STEPS = 40
 def bench_model(name: str, n_steps: int = 8) -> dict:
     from skyrim_tpu.models import MODELS
 
-    model = MODELS[name]() if name != "pangu" else MODELS[name]("pangu6")
+    base = name.split("(")[0]
+    model = MODELS[base]() if base != "pangu" else MODELS[base]("pangu6")
     params = model.init_params(jax.random.key(0))
     if hasattr(model, "trim_stages"):
         # cascade models: keep only stages an n_steps rollout reaches
         # (a 16 GB chip holds one ~1.4 B stage comfortably, not three)
         params = model.trim_stages(params, n_steps)
+    if name.endswith("(int8-serve)"):
+        # serving quantization: trunk GEMMs as int8 MXU dots, weights
+        # never materialized in bf16 (quantize.split_dense_int8)
+        params = model.quantize_params(params, serve_int8=True)
     x0 = np.zeros(model.state_shape, np.float32)
     state0 = jax.tree.map(jnp.asarray, model.init_state(params, x0))
 
@@ -82,7 +87,8 @@ if __name__ == "__main__":
     import sys
 
     names = sys.argv[1:] or [
-        "dlwp", "fourcastnet", "fourcastnet_v2", "pangu", "fuxi", "fengwu", "graphcast",
+        "dlwp", "fourcastnet", "fourcastnet_v2", "pangu", "fuxi",
+        "fuxi(int8-serve)", "fengwu", "graphcast",
     ]
     # merge into an existing matrix so partial reruns (one model) keep
     # the other entries instead of truncating the committed artifact
