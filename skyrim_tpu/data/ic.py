@@ -87,12 +87,15 @@ def climatology_stats(channel_name: str) -> tuple[float, float]:
     SAME climatology so a synthetic IC enters the net as ~N(0,1) — the
     offline analog of a trained artifact's bundled stats.
     """
-    try:
-        c = parse_channel(channel_name)
-    except ValueError:
+    import re as _re
+
+    if _re.fullmatch(r"c\d+", channel_name):
         # reduced test configs use placeholder channel names (cNN);
-        # standard normal is the right synthetic climatology for them
+        # standard normal is the right synthetic climatology for them.
+        # Anything ELSE unparseable still raises loudly — a malformed
+        # real channel must not silently get N(0,1) stats.
         return 0.0, 1.0
+    c = parse_channel(channel_name)
     mean, std = _CLIMATOLOGY.get(c.var, (0.0, 1.0))
     if c.level is not None:
         # scale aloft: geopotential grows, temperature falls

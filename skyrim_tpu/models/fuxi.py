@@ -497,6 +497,15 @@ class FuXiModel(PrognosticModel):
         v5e (quantize.py module docstring)."""
         from skyrim_tpu.quantize import quantize_tree, split_dense_int8
 
+        if serve_int8 and not self.cfg.attn_v2:
+            # only the Swin-V2 block consumes the int8 collection; the
+            # V1 paths (fused Pallas holders / unnamed XLA Dense) would
+            # hit ScopeParamNotFoundError on the removed kernels
+            raise ValueError(
+                "serve_int8 requires attn_v2=True (the Swin-V2 block is "
+                "the int8-collection consumer); use the at-rest tier "
+                "(serve_int8=False) for V1-style configs"
+            )
         if not serve_int8:
             return {
                 **params,

@@ -398,6 +398,18 @@ class BipartitePass(nn.Module):
 
                 b0, wb, lnp = self.message.finish_params()
                 H, W = gt["slot_dst"].shape[:2]
+                if bias_chunks.shape != (H, W, gt["D"] * L):
+                    # the g2m bias layout is MODE-dependent (tiled
+                    # (H, W, D·L) vs plan (B, M, L)); a cache built
+                    # under the other mode must fail fast, not as an
+                    # opaque pallas shape error
+                    raise ValueError(
+                        f"g2m bias cache layout {bias_chunks.shape} does "
+                        f"not match the tiled path's ({H}, {W}, "
+                        f"{gt['D'] * L}) — the cache was built under a "
+                        "different kernel mode; rebuild via "
+                        "prepare_params in the serving mode"
+                    )
                 partials = fused_g2m_tiled(
                     a_src.reshape(H, W, L), bias_chunks,
                     jnp.asarray(gt["local"]), b0, wb, lnp,
@@ -411,6 +423,10 @@ class BipartitePass(nn.Module):
                     num_segments=self.n_dst, indices_are_sorted=True,
                 )
                 return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
+            # XLA chunk-scan fallback (CPU parity / fp32 stability leg;
+            # the fused path above is tile-based — the earlier
+            # whole-plan fused_block_messages branch was unreachable
+            # once tiles became unconditional and was removed)
             plan = self.tables["plan"]
             G = self.groups
             B, M = plan["src_blocks"].shape
@@ -418,38 +434,32 @@ class BipartitePass(nn.Module):
             SB = plan["SB"]
             local = jnp.asarray(plan["local"])
             src_b = jnp.asarray(plan["src_blocks"])
-
-            if fused:
-                # scan-free, ONE pallas call over all blocks — per-group
-                # slices of the cached bias fed to custom-calls forced
-                # multi-GB materialized copies (utils/hlo_bytes, round 5);
-                # the single call reads whole cache buffers in place
-                from skyrim_tpu.ops.graph_kernels import fused_block_messages
-
-                b0, wb, lnp = self.message.finish_params()
-                ys = fused_block_messages(
-                    a_src[src_b], bias_chunks, local, b0, wb, lnp, SB,
+            if bias_chunks.shape != (B, M, L):
+                raise ValueError(
+                    f"g2m bias cache layout {bias_chunks.shape} does not "
+                    f"match the plan path's ({B}, {M}, {L}) — the cache "
+                    "was built under a different kernel mode; rebuild "
+                    "via prepare_params in the serving mode"
                 )
-            else:
-                iota = jnp.arange(SB, dtype=local.dtype)
+            iota = jnp.arange(SB, dtype=local.dtype)
 
-                def body(_, xs):
-                    b_g, s_g, l_g = xs  # (grp, M, L), (grp, M), (grp, M)
-                    msg = self.message.finish(a_src[s_g] + b_g)
-                    oh = (l_g[:, None, :] == iota[None, :, None]).astype(
-                        msg.dtype
-                    )
-                    return None, jnp.einsum("bsm,bmd->bsd", oh, msg)
-
-                _, ys = jax.lax.scan(
-                    body,
-                    None,
-                    (
-                        bias_chunks.reshape(G, grp, M, L),
-                        src_b.reshape(G, grp, M),
-                        local.reshape(G, grp, M),
-                    ),
+            def body(_, xs):
+                b_g, s_g, l_g = xs  # (grp, M, L), (grp, M), (grp, M)
+                msg = self.message.finish(a_src[s_g] + b_g)
+                oh = (l_g[:, None, :] == iota[None, :, None]).astype(
+                    msg.dtype
                 )
+                return None, jnp.einsum("bsm,bmd->bsd", oh, msg)
+
+            _, ys = jax.lax.scan(
+                body,
+                None,
+                (
+                    bias_chunks.reshape(G, grp, M, L),
+                    src_b.reshape(G, grp, M),
+                    local.reshape(G, grp, M),
+                ),
+            )
             agg = ys.reshape(B * SB, L)[jnp.asarray(plan["unpack"])]
         return self.MLP_0(dst_feat, x2=agg, residual=dst_feat)
 

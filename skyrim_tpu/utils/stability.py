@@ -499,9 +499,15 @@ def delta_decomposition(
             )
             return (new_state, yn), stats
 
-        x_last = normalize(norm, state.x[-1].astype(jnp.float32))[None]
+        # prev carries one frame bundle per advance call (frames_out
+        # frames) so the carry structure matches body's yn for
+        # multi-frame models (DLWP emits 2 frames/call)
+        x_last = normalize(norm, state.x[-1].astype(jnp.float32))
+        prev0 = jnp.broadcast_to(
+            x_last[None], (model.frames_out, *x_last.shape)
+        )
         (_, _), (rms, rms_d) = jax.lax.scan(
-            body, (state, x_last), None, length=n_calls
+            body, (state, prev0), None, length=n_calls
         )
         return rms, rms_d
 

@@ -279,3 +279,120 @@ def test_graphcast_fused_matches_xla(monkeypatch):
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.05)
+
+
+def _finish_ref(h, b0, wb, ln):
+    dt = h.dtype
+    h = h + b0.astype(dt)
+    hf = h.astype(jnp.float32)
+    h = (hf * jax.lax.logistic(hf)).astype(dt)
+    y = h @ wb[0].astype(dt) + wb[1].astype(dt)
+    from skyrim_tpu.ops.fused_block import _layernorm_f32
+
+    return _layernorm_f32(
+        y, ln[0].reshape(1, -1), ln[1].reshape(1, -1)
+    ).astype(dt)
+
+
+def test_fused_g2m_tiled_matches_naive_per_edge():
+    """Grid-major tiled encoder vs a naive per-edge loop: slot tables,
+    U sentinel, per-tile one-hot aggregation, and the cross-tile
+    combine gather + segment sum — including partial/empty slots."""
+    from skyrim_tpu.ops.graph import build_g2m_tiles
+    from skyrim_tpu.ops.graph_kernels import fused_g2m_tiled
+
+    rng = np.random.default_rng(0)
+    H, W, L, n_mesh = 12, 20, 16, 9
+    n_grid = H * W
+    # random sparse edges, out-degree 0..3
+    src, dst = [], []
+    for p in range(n_grid):
+        for d in rng.choice(n_mesh, size=rng.integers(0, 4), replace=False):
+            src.append(p)
+            dst.append(int(d))
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    efeat = rng.normal(size=(len(src), 4)).astype(np.float32)
+    gt = build_g2m_tiles(src, dst, efeat, H, W, n_mesh)
+
+    asrc = rng.normal(size=(H, W, L)).astype(np.float32)
+    # per-(point, slot) bias in the builder's slot order
+    bias_hw = rng.normal(size=(H, W, gt["D"] * L)).astype(np.float32) * 0.3
+    b0 = rng.normal(size=(L,)).astype(np.float32) * 0.1
+    wb = (rng.normal(size=(L, L)).astype(np.float32) * 0.2,
+          rng.normal(size=(L,)).astype(np.float32) * 0.1)
+    ln = (rng.normal(size=(L,)).astype(np.float32),
+          rng.normal(size=(L,)).astype(np.float32))
+
+    partials = fused_g2m_tiled(
+        jnp.asarray(asrc), jnp.asarray(bias_hw), jnp.asarray(gt["local"]),
+        jnp.asarray(b0), tuple(map(jnp.asarray, wb)),
+        tuple(map(jnp.asarray, ln)),
+        gt["D"], gt["U"], gt["th"], gt["tw"], interpret=True,
+    )
+    vals = np.asarray(partials).reshape(-1, L)[gt["combine_idx"]]
+    agg = np.zeros((n_mesh, L), np.float32)
+    np.add.at(agg, gt["combine_seg"], vals)
+
+    # naive: walk the builder's own slot tables per (point, slot)
+    ref = np.zeros((n_mesh, L), np.float32)
+    sd = np.asarray(gt["slot_dst"]).reshape(n_grid, gt["D"])
+    th, tw = gt["th"], gt["tw"]
+    TH, TW = H // th, W // tw
+    loc = np.asarray(gt["local"])  # (TH, TW, D, th*tw)
+    for p in range(n_grid):
+        i, j = divmod(p, W)
+        ti, tj = i // th, j // tw
+        r = (i % th) * tw + (j % tw)
+        for k in range(gt["D"]):
+            if loc[ti, tj, k, r] == gt["U"]:
+                continue  # empty slot
+            h = asrc[i, j] + bias_hw[i, j, k * L : (k + 1) * L]
+            m = np.asarray(_finish_ref(
+                jnp.asarray(h[None]), jnp.asarray(b0),
+                tuple(map(jnp.asarray, wb)), tuple(map(jnp.asarray, ln)),
+            ))[0]
+            ref[sd[p, k]] += m
+    np.testing.assert_allclose(agg, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_m2g_tiled_matches_naive():
+    """Tiled decoder (unique-face one-hot expansion) vs a naive
+    per-point loop over the face tables — including partial tiles
+    (H, W not multiples of the tile shape)."""
+    from skyrim_tpu.ops.graph import build_face_tiles
+    from skyrim_tpu.ops.graph_kernels import fused_m2g_tiled
+
+    rng = np.random.default_rng(1)
+    H, W, L, n_faces, deg = 11, 18, 16, 7, 3
+    face_hw = rng.integers(0, n_faces, size=(H, W)).astype(np.int32)
+    ft = build_face_tiles(face_hw, th=4, tw=8)
+
+    wide_faces = rng.normal(size=(n_faces, deg * L)).astype(np.float32)
+    uniq = wide_faces[ft["tile_faces"]]
+    bias_hw = rng.normal(size=(H, W, deg * L)).astype(np.float32) * 0.3
+    ad_hw = rng.normal(size=(H, W, L)).astype(np.float32) * 0.3
+    b0 = rng.normal(size=(L,)).astype(np.float32) * 0.1
+    wb = (rng.normal(size=(L, L)).astype(np.float32) * 0.2,
+          rng.normal(size=(L,)).astype(np.float32) * 0.1)
+    ln = (rng.normal(size=(L,)).astype(np.float32),
+          rng.normal(size=(L,)).astype(np.float32))
+
+    out = np.asarray(fused_m2g_tiled(
+        jnp.asarray(uniq), jnp.asarray(ft["tile_local"]),
+        jnp.asarray(bias_hw), jnp.asarray(ad_hw), jnp.asarray(b0),
+        tuple(map(jnp.asarray, wb)), tuple(map(jnp.asarray, ln)),
+        deg, ft["th"], ft["tw"], interpret=True,
+    ))
+    for p in rng.choice(H * W, size=24, replace=False):
+        i, j = divmod(int(p), W)
+        acc = np.zeros(L, np.float32)
+        for k in range(deg):
+            h = (wide_faces[face_hw[i, j], k * L : (k + 1) * L]
+                 + bias_hw[i, j, k * L : (k + 1) * L] + ad_hw[i, j])
+            acc += np.asarray(_finish_ref(
+                jnp.asarray(h[None]), jnp.asarray(b0),
+                tuple(map(jnp.asarray, wb)), tuple(map(jnp.asarray, ln)),
+            ))[0]
+        np.testing.assert_allclose(out[i, j], acc, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"point ({i},{j})")

@@ -87,3 +87,24 @@ def test_delta_decomposition_shapes(tiny_pangu):
     assert all(np.isfinite(v) for v in d["rms"] + d["rms_delta"])
     assert np.isfinite(d["walk_fit_rel_err"])
     assert all(v > 0 for v in d["rms_delta"])
+
+
+def test_delta_decomposition_frames_out_two():
+    """The carry handles multi-frame models (DLWP emits 2 frames/call)."""
+    from skyrim_tpu.grid import (
+        LatLonGrid,
+        cubed_sphere_to_latlon_patch,
+        latlon_to_cubed_sphere_patch,
+    )
+    from skyrim_tpu.models.dlwp import DLWPModel
+    from skyrim_tpu.utils.stability import delta_decomposition
+
+    model = DLWPModel(face_size=16, features=(8, 16))
+    model.grid = LatLonGrid(73, 144)
+    model._to_cs = latlon_to_cubed_sphere_patch(16, 73, 144)
+    model._to_ll = cubed_sphere_to_latlon_patch(16, 73, 144)
+    params = climatological_params(model, jax.random.key(0))
+    x0 = synthetic_ic(model)
+    d = delta_decomposition(model, params, x0, 4)
+    assert len(d["rms"]) == 2  # per-call stats: 4 frames / 2 per call
+    assert all(np.isfinite(v) for v in d["rms"] + d["rms_delta"])
